@@ -1,0 +1,99 @@
+"""Benchmark: training throughput (examples/s/chip) on Movielens 100K.
+
+Config mirrors the reference's README headline ("fit LSTM on ML-100K in
+~10s": dim=32, max_seq_len=32, WARP, Adagrad, lr=0.16, l2=4e-4, 10 epochs —
+`readme.md:26-48`). An "example" is one supervised timestep, matching the
+reference's accounting (`src/models/sequence_model.rs:158`).
+
+Baseline: the reference trains `num_examples * 10 epochs` timesteps in
+~10 s of single-core CPU — `vs_baseline` is our examples/s over that rate.
+
+Prints ONE JSON line on stdout; details go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    import sbr_rs_tpu as sbr
+    from sbr_rs_tpu.data import extract_windows, pad_windows
+
+    device = jax.devices()[0]
+    print(f"bench device: {device}", file=sys.stderr)
+
+    data = sbr.datasets.download_movielens_100k()
+    rng = np.random.default_rng(42)
+    train, test = sbr.data.user_based_split(data, rng, 0.2)
+    train_mat = train.to_compressed()
+
+    max_seq_len = 32
+    epochs = 10
+    batch_size = int(__import__("os").environ.get("SBR_BENCH_BATCH", "512"))
+
+    windows = extract_windows(train_mat, max_seq_len)
+    examples_per_epoch = pad_windows(windows, max_seq_len).num_examples
+
+    def build():
+        return (
+            sbr.models.lstm.Hyperparameters(data.num_items, max_seq_len)
+            .embedding_dim(32)
+            .learning_rate(0.16)
+            .l2_penalty(0.0004)
+            .lstm_variant(sbr.models.lstm.LSTMVariant.NORMAL)
+            .loss(sbr.models.Loss.WARP)
+            .optimizer(sbr.models.Optimizer.ADAGRAD)
+            .num_epochs(epochs)
+            .batch_size(batch_size)
+            .from_seed(42)
+            .build()
+        )
+
+    # Warm-up: compile the epoch program.
+    warm = build()
+    warm.hyper._num_epochs = 1
+    warm.fit(train_mat)
+
+    model = build()
+    # Reuse the compiled epoch fn (same shapes).
+    model._epoch_fn = warm._epoch_fn
+    model._epoch_fn_shape = warm._epoch_fn_shape
+
+    t0 = time.perf_counter()
+    loss = model.fit(train_mat)
+    elapsed = time.perf_counter() - t0
+
+    total_examples = examples_per_epoch * epochs
+    examples_per_sec = total_examples / elapsed
+
+    # Reference baseline: same workload in ~10 s (readme.md:26-27).
+    baseline_examples_per_sec = total_examples / 10.0
+    vs_baseline = examples_per_sec / baseline_examples_per_sec
+
+    print(
+        f"fit: {elapsed:.2f}s for {total_examples} examples "
+        f"({examples_per_sec:,.0f} ex/s), loss={loss:.4f}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_examples_per_sec_per_chip",
+                "value": round(examples_per_sec, 1),
+                "unit": "examples/s (supervised timesteps/s), LSTM-32 WARP ML-100K",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Evaluation: mean reciprocal rank over full-catalog scoring.
+
+Reference: ``src/evaluation.rs:12-48`` — for every test user with >= 2
+interactions, build a representation from all-but-the-last item, score the
+*entire catalog*, mask already-seen items to ``f32::MIN``, and rank the held
+-out item counting ties against the model (``prediction >= test_score``
+includes the item itself, so rank >= 1); MRR is the mean of ``1/rank``.
+
+The reference parallelizes with rayon threads, each scoring the catalog one
+SIMD dot at a time. Here users are batched and the catalog is scored as a
+``[U, D] @ [D, I]`` matmul on the MXU, streamed in item chunks so that
+arbitrarily large (sharded) catalogs never materialize ``[U, I]`` at once.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import CompressedInteractions
+from .errors import InvalidPredictionValue
+from .models.base import ImplicitSequenceModel
+
+_NEG_MIN = float(np.finfo(np.float32).min)
+
+_USER_BATCH = 512
+_ITEM_CHUNK = 65536
+
+
+@jax.jit
+def _target_scores(emb, biases, reps, test_items, test_in_prefix):
+    """Masked score of each user's held-out item (MIN if it was already seen,
+    matching the mask-then-read order of ``src/evaluation.rs:30-34``)."""
+    t_emb = jnp.take(emb, test_items, axis=0)
+    t_bias = jnp.take(biases, test_items, axis=0)
+    raw = jnp.einsum("ud,ud->u", reps, t_emb) + t_bias
+    return jnp.where(test_in_prefix, _NEG_MIN, raw)
+
+
+def _make_chunk_counter(chunk: int):
+    @jax.jit
+    def count_chunk(emb_chunk, bias_chunk, reps, prefix_local, targets, test_local, valid_cols):
+        # scores for this slab of the catalog: [U, C]
+        scores = reps @ emb_chunk.T + bias_chunk
+        u = reps.shape[0]
+        rows = jnp.arange(u)[:, None]
+        # Mask seen items that fall in this chunk. Indices from other chunks
+        # must be remapped out-of-bounds *positively* before the drop-mode
+        # scatter — negative indices wrap NumPy-style instead of dropping.
+        prefix_local = jnp.where(prefix_local < 0, chunk, prefix_local)
+        scores = scores.at[rows, prefix_local].set(_NEG_MIN, mode="drop")
+        # Catalog-padding columns never count toward the rank (when the
+        # target is itself MIN — held-out item already seen — every real
+        # item counts, exactly the reference's rank == catalog size).
+        col_ok = jnp.arange(chunk) < valid_cols
+        counts = jnp.sum(
+            ((scores >= targets[:, None]) & col_ok[None, :]).astype(jnp.int32), axis=1
+        )
+        # The held-out item's own comparison must use the *chunk's* score
+        # (the separately-computed target can differ by float rounding);
+        # report whether it self-counted so the caller can replace that
+        # contribution with the reference's unconditional self-tie (rank
+        # includes the item itself, `src/evaluation.rs:37-41`).
+        in_chunk = (test_local >= 0) & (test_local < chunk)
+        self_score = scores[jnp.arange(u), jnp.clip(test_local, 0, chunk - 1)]
+        self_hit = (in_chunk & (self_score >= targets)).astype(jnp.int32)
+        return counts, self_hit
+
+    return count_chunk
+
+
+def mrr_score(model, test: CompressedInteractions) -> float:
+    """Compute MRR of next-item predictions (reference ``src/evaluation.rs:12``)."""
+    if isinstance(model, ImplicitSequenceModel):
+        return _mrr_score_batched(model, test)
+    return _mrr_score_generic(model, test)
+
+
+def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -> float:
+    num_items = test.num_items
+    users = [u for u in test.iter_users() if len(u) >= 2]
+    if not users:
+        return float("nan")
+
+    prefixes = [u.item_ids[:-1] for u in users]
+    test_items_all = np.array([u.item_ids[-1] for u in users], dtype=np.int32)
+
+    params = model._params
+    emb = params["item_embedding"]
+    biases = params["item_biases"]
+
+    item_chunk = min(_ITEM_CHUNK, num_items)
+    num_chunks = -(-num_items // item_chunk)
+    # Pad the catalog so every chunk has a static shape; padded items get
+    # MIN scores and never outrank a real target (ties with MIN only matter
+    # when the target itself is masked, where rank is already ~catalog size).
+    pad_items = num_chunks * item_chunk - num_items
+    if pad_items:
+        emb_p = jnp.concatenate([emb, jnp.zeros((pad_items, emb.shape[1]), emb.dtype)])
+        bias_p = jnp.concatenate(
+            [biases, jnp.full((pad_items,), _NEG_MIN, biases.dtype)]
+        )
+    else:
+        emb_p, bias_p = emb, biases
+    count_chunk = _make_chunk_counter(item_chunk)
+
+    # Pad prefix lists to a common length, in fixed buckets to bound the
+    # number of compiled shapes. Pad value num_items → dropped by scatter.
+    max_prefix = max(len(p) for p in prefixes)
+    p_pad = 1
+    while p_pad < max_prefix:
+        p_pad *= 2
+
+    rrs = []
+    for start in range(0, len(users), _USER_BATCH):
+        batch_prefixes = prefixes[start : start + _USER_BATCH]
+        test_items = test_items_all[start : start + _USER_BATCH]
+        u = len(batch_prefixes)
+
+        prefix_arr = np.full((u, p_pad), num_items, dtype=np.int32)
+        test_in_prefix = np.zeros((u,), dtype=bool)
+        for i, p in enumerate(batch_prefixes):
+            prefix_arr[i, : len(p)] = p
+            test_in_prefix[i] = test_items[i] in p
+
+        reps = model._representations(batch_prefixes)
+        if not np.all(np.isfinite(reps)):
+            raise InvalidPredictionValue()
+
+        reps_j = jnp.asarray(reps.astype(np.float32))
+        prefix_j = jnp.asarray(prefix_arr)
+        targets = _target_scores(
+            emb, biases, reps_j, jnp.asarray(test_items), jnp.asarray(test_in_prefix)
+        )
+
+        counts = jnp.zeros((u,), dtype=jnp.int32)
+        self_hits = jnp.zeros((u,), dtype=jnp.int32)
+        test_j = jnp.asarray(test_items)
+        for c in range(num_chunks):
+            lo = c * item_chunk
+            emb_c = jax.lax.dynamic_slice_in_dim(emb_p, lo, item_chunk, axis=0)
+            bias_c = jax.lax.dynamic_slice_in_dim(bias_p, lo, item_chunk, axis=0)
+            cnt, sh = count_chunk(
+                emb_c, bias_c, reps_j, prefix_j - lo, targets, test_j - lo,
+                min(item_chunk, num_items - lo),
+            )
+            counts = counts + cnt
+            self_hits = self_hits + sh
+
+        # rank = 1 (the item itself, ties-count-against) + other items >= it.
+        ranks = 1 + np.asarray(counts) - np.asarray(self_hits)
+        rrs.append(1.0 / ranks.astype(np.float64))
+
+    return float(np.mean(np.concatenate(rrs)))
+
+
+def _mrr_score_generic(model, test: CompressedInteractions) -> float:
+    """Fallback for any object implementing the OnlineRankingModel protocol
+    (``user_representation`` + ``predict``), mirroring the reference's
+    per-user loop exactly."""
+    item_ids = np.arange(test.num_items)
+    rrs = []
+    for user in test.iter_users():
+        if len(user) < 2:
+            continue
+        train_items = user.item_ids[:-1]
+        test_item = int(user.item_ids[-1])
+        rep = model.user_representation(train_items)
+        predictions = np.array(model.predict(rep, item_ids), dtype=np.float32)
+        predictions[train_items] = _NEG_MIN
+        test_score = predictions[test_item]
+        rank = int(np.sum(predictions >= test_score))
+        rrs.append(1.0 / rank)
+    return float(np.mean(rrs)) if rrs else float("nan")

@@ -1,0 +1,395 @@
+"""Shared hyperparameter builder and the implicit sequence-model base class.
+
+Mirrors the reference's fluent ``Hyperparameters`` builders
+(``src/models/lstm.rs:38-172``, ``src/models/ewma.rs:44-165``) and the
+``OnlineRankingModel`` trait (``src/lib.rs:101-116``), re-designed around a
+batched, fully-jitted training loop:
+
+* ``fit`` extracts first-chunk-smallest windows (> 2 items), pads them to
+  ``[N, T]``, and runs *whole epochs* as one compiled ``lax.scan`` over
+  shuffled minibatches — one device program per epoch instead of one
+  optimizer step per Python call.
+* No subsequences are silently dropped (the reference's thread-partitioning
+  drops up to ``num_threads - 1`` chunks when the split is uneven,
+  ``src/models/sequence_model.rs:91-98`` — a bug we do not reproduce);
+  ragged tails are padded with zero-mask rows instead.
+* ``num_threads``/``parallelism`` are accepted for API parity; actual
+  parallelism is data-parallel SPMD over a ``jax.sharding.Mesh`` (see
+  :mod:`sbr_rs_tpu.parallel`), enabled with :meth:`Hyperparameters.mesh`.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import CompressedInteractions, extract_windows, pad_windows
+from ..errors import InvalidPredictionValue, NoInteractions
+from . import ImplicitUser, Loss, Optimizer, Parallelism
+from .engine import EngineConfig, init_embedding_params, init_opt_state, make_train_step
+
+
+class Hyperparameters:
+    """Fluent hyperparameter builder (reference ``src/models/lstm.rs:54-139``).
+
+    Defaults match the reference (``src/models/lstm.rs:56-71``): dim=16,
+    lr=0.01, l2=0, loss=BPR, optimizer=Adam, synchronous, 10 epochs.
+    ``batch_size`` is new — the reference steps per sequence (minibatch of
+    1, ``src/models/sequence_model.rs:163-169``); batched synchronous
+    training is the deliberate TPU-native deviation (SURVEY.md §7).
+    """
+
+    def __init__(self, num_items: int, max_sequence_length: int):
+        self._num_items = int(num_items)
+        self._max_sequence_length = int(max_sequence_length)
+        self._item_embedding_dim = 16
+        self._learning_rate = 0.01
+        self._l2_penalty = 0.0
+        self._loss = Loss.BPR
+        self._optimizer = Optimizer.ADAM
+        self._parallelism = Parallelism.SYNCHRONOUS
+        self._num_threads = 1
+        self._num_epochs = 10
+        self._batch_size = 32
+        self._seed = int(np.random.SeedSequence().entropy % (2**31))
+        self._mesh: Optional[jax.sharding.Mesh] = None
+
+    # -- fluent setters (names mirror the reference) -----------------------
+
+    def learning_rate(self, learning_rate: float) -> "Hyperparameters":
+        self._learning_rate = float(learning_rate)
+        return self
+
+    def l2_penalty(self, l2_penalty: float) -> "Hyperparameters":
+        self._l2_penalty = float(l2_penalty)
+        return self
+
+    def embedding_dim(self, embedding_dim: int) -> "Hyperparameters":
+        self._item_embedding_dim = int(embedding_dim)
+        return self
+
+    def num_epochs(self, num_epochs: int) -> "Hyperparameters":
+        self._num_epochs = int(num_epochs)
+        return self
+
+    def loss(self, loss: Loss) -> "Hyperparameters":
+        self._loss = loss
+        return self
+
+    def optimizer(self, optimizer: Optimizer) -> "Hyperparameters":
+        self._optimizer = optimizer
+        return self
+
+    def parallelism(self, parallelism: Parallelism) -> "Hyperparameters":
+        self._parallelism = parallelism
+        return self
+
+    def num_threads(self, num_threads: int) -> "Hyperparameters":
+        self._num_threads = int(num_threads)
+        return self
+
+    def batch_size(self, batch_size: int) -> "Hyperparameters":
+        self._batch_size = int(batch_size)
+        return self
+
+    def from_seed(self, seed: int) -> "Hyperparameters":
+        self._seed = int(seed) % (2**31)
+        return self
+
+    def rng(self, rng: "np.random.Generator | int") -> "Hyperparameters":
+        """Seed from an RNG or integer (reference ``src/models/lstm.rs:122-125``)."""
+        if isinstance(rng, np.random.Generator):
+            self._seed = int(rng.integers(0, 2**31))
+        else:
+            self._seed = int(rng) % (2**31)
+        return self
+
+    def mesh(self, mesh: Optional[jax.sharding.Mesh]) -> "Hyperparameters":
+        """Train over a device mesh with axes ``("data", "model")``: batches
+        sharded over ``data``, the item table/biases row-sharded over
+        ``model``. New capability — the reference has no device parallelism."""
+        self._mesh = mesh
+        return self
+
+    # -- random search (reference ``src/models/lstm.rs:141-172``) ----------
+
+    @classmethod
+    def _random_common(cls, num_items: int, rng: np.random.Generator) -> "Hyperparameters":
+        hp = cls(num_items, 2 ** int(rng.integers(4, 8)))
+        hp._item_embedding_dim = 2 ** int(rng.integers(4, 8))
+        hp._learning_rate = float(10.0 ** rng.uniform(-3.0, 0.5))
+        hp._l2_penalty = float(10.0 ** rng.uniform(-7.0, -3.0))
+        hp._loss = Loss.BPR if rng.random() < 0.5 else Loss.HINGE
+        hp._optimizer = Optimizer.ADAM if rng.random() < 0.5 else Optimizer.ADAGRAD
+        hp._parallelism = (
+            Parallelism.ASYNCHRONOUS if rng.random() < 0.5 else Parallelism.SYNCHRONOUS
+        )
+        hp._num_threads = 1
+        hp._num_epochs = 2 ** int(rng.integers(3, 7))
+        hp._batch_size = int(2 ** rng.integers(3, 8))
+        hp._seed = int(rng.integers(0, 2**31))
+        return hp
+
+    def to_dict(self) -> dict:
+        return {
+            "num_items": self._num_items,
+            "max_sequence_length": self._max_sequence_length,
+            "item_embedding_dim": self._item_embedding_dim,
+            "learning_rate": self._learning_rate,
+            "l2_penalty": self._l2_penalty,
+            "loss": self._loss.value,
+            "optimizer": self._optimizer.value,
+            "parallelism": self._parallelism.value,
+            "num_threads": self._num_threads,
+            "num_epochs": self._num_epochs,
+            "batch_size": self._batch_size,
+            "seed": self._seed,
+        }
+
+    @classmethod
+    def _from_dict_common(cls, d: dict) -> "Hyperparameters":
+        hp = cls(d["num_items"], d["max_sequence_length"])
+        hp._item_embedding_dim = d["item_embedding_dim"]
+        hp._learning_rate = d["learning_rate"]
+        hp._l2_penalty = d["l2_penalty"]
+        hp._loss = Loss(d["loss"])
+        hp._optimizer = Optimizer(d["optimizer"])
+        hp._parallelism = Parallelism(d["parallelism"])
+        hp._num_threads = d["num_threads"]
+        hp._num_epochs = d["num_epochs"]
+        hp._batch_size = d["batch_size"]
+        hp._seed = d["seed"]
+        return hp
+
+
+class ImplicitSequenceModel:
+    """Base class implementing fit / user_representation / predict.
+
+    Subclasses provide the tower (``_init_tower`` / ``_tower_apply``); the
+    blanket ``OnlineRankingModel`` impl over ``SequenceModelParameters``
+    (``src/models/sequence_model.rs:180-233``) corresponds to the methods
+    here.
+    """
+
+    def __init__(self, hyper: Hyperparameters):
+        self.hyper = hyper
+        self._np_rng = np.random.default_rng(hyper._seed)
+        key = jax.random.PRNGKey(hyper._seed)
+        k_emb, k_tower, self._key = jax.random.split(key, 3)
+        params = init_embedding_params(
+            k_emb, hyper._num_items, hyper._item_embedding_dim
+        )
+        params["tower"] = self._init_tower(k_tower, hyper._item_embedding_dim)
+        self._params = params
+        self._epoch_fn = None
+        self._epoch_fn_shape = None
+        self._rep_fn = None
+        self._rep_fn_shape = None
+        self._predict_fn = None
+        if hyper._mesh is not None:
+            from ..parallel.sharding import shard_model_params
+
+            self._params = shard_model_params(self._params, hyper._mesh)
+
+    # -- subclass hooks -----------------------------------------------------
+
+    def _init_tower(self, key: jax.Array, dim: int) -> Dict:
+        raise NotImplementedError
+
+    def _tower_apply(self, tower_params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    # -- engine wiring ------------------------------------------------------
+
+    def _engine_config(self) -> EngineConfig:
+        hp = self.hyper
+        return EngineConfig(
+            num_items=hp._num_items,
+            embedding_dim=hp._item_embedding_dim,
+            loss=hp._loss,
+            optimizer=hp._optimizer,
+            learning_rate=hp._learning_rate,
+            l2_penalty=hp._l2_penalty,
+        )
+
+    def _build_epoch_fn(self, batch_size: int, num_batches: int):
+        """One compiled epoch: `lax.scan` over shuffled minibatches."""
+        train_step = make_train_step(self._engine_config(), self._tower_apply)
+        mesh = self.hyper._mesh
+        if mesh is not None:
+            from ..parallel.sharding import batch_sharding
+
+            data_spec = batch_sharding(mesh, 2)
+
+        def epoch_fn(params, opt_state, key, inputs, targets, mask, perm):
+            def body(carry, batch_idx):
+                params, opt_state = carry
+                rows = jax.lax.dynamic_slice(
+                    perm, (batch_idx * batch_size,), (batch_size,)
+                )
+                batch = {
+                    "inputs": jnp.take(inputs, rows, axis=0),
+                    "targets": jnp.take(targets, rows, axis=0),
+                    "mask": jnp.take(mask, rows, axis=0),
+                }
+                if mesh is not None:
+                    batch = {
+                        k: jax.lax.with_sharding_constraint(v, data_spec)
+                        for k, v in batch.items()
+                    }
+                step_key = jax.random.fold_in(key, batch_idx)
+                params, opt_state, loss = train_step(params, opt_state, step_key, batch)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(num_batches)
+            )
+            return params, opt_state, jnp.sum(losses)
+
+        return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    # -- public API ----------------------------------------------------------
+
+    def fit(self, interactions: CompressedInteractions) -> float:
+        """Fit the model, returning the mean loss
+        (``loss_sum / (1 + examples)``, reference
+        ``src/models/sequence_model.rs:173-175``).
+
+        Repeated calls continue training from the current parameters with a
+        fresh optimizer state, matching the reference (the optimizer is
+        rebuilt per ``fit``, ``src/models/sequence_model.rs:90``).
+        """
+        hp = self.hyper
+        windows = extract_windows(interactions, hp._max_sequence_length)
+        if not windows:
+            raise NoInteractions()
+        padded = pad_windows(windows, hp._max_sequence_length)
+
+        n = len(padded)
+        batch_size = min(hp._batch_size, n)
+        num_batches = -(-n // batch_size)  # ceil — no dropped windows
+        n_pad = num_batches * batch_size
+
+        # Data lives on device once; one zero-mask padding row at index n.
+        inputs = np.concatenate([padded.inputs, np.zeros((1, padded.inputs.shape[1]), np.int32)])
+        targets = np.concatenate([padded.targets, np.zeros((1, padded.targets.shape[1]), np.int32)])
+        mask = np.concatenate([padded.mask, np.zeros((1, padded.mask.shape[1]), np.float32)])
+        if hp._mesh is not None:
+            # Replicate the window store over the mesh (batch rows are
+            # gathered per step and constrained to the data axis).
+            repl = jax.sharding.NamedSharding(hp._mesh, jax.sharding.PartitionSpec())
+            inputs = jax.device_put(jnp.asarray(inputs), repl)
+            targets = jax.device_put(jnp.asarray(targets), repl)
+            mask = jax.device_put(jnp.asarray(mask), repl)
+        else:
+            inputs, targets, mask = jnp.asarray(inputs), jnp.asarray(targets), jnp.asarray(mask)
+
+        shape_key = (batch_size, num_batches, inputs.shape[0])
+        if self._epoch_fn is None or self._epoch_fn_shape != shape_key:
+            self._epoch_fn = self._build_epoch_fn(batch_size, num_batches)
+            self._epoch_fn_shape = shape_key
+
+        params = self._params
+        opt_state = init_opt_state(hp._optimizer, params)
+        if hp._mesh is not None:
+            from ..parallel.sharding import shard_model_params
+
+            opt_state = shard_model_params(opt_state, hp._mesh)
+
+        loss_sums = []
+        for _ in range(hp._num_epochs):
+            perm = self._np_rng.permutation(n).astype(np.int32)
+            if n_pad > n:
+                perm = np.concatenate([perm, np.full((n_pad - n,), n, np.int32)])
+            self._key, epoch_key = jax.random.split(self._key)
+            perm_dev = jnp.asarray(perm)
+            if hp._mesh is not None:
+                perm_dev = jax.device_put(
+                    perm_dev,
+                    jax.sharding.NamedSharding(hp._mesh, jax.sharding.PartitionSpec()),
+                )
+            params, opt_state, loss_sum = self._epoch_fn(
+                params, opt_state, epoch_key, inputs, targets, mask, perm_dev,
+            )
+            loss_sums.append(loss_sum)
+
+        self._params = params
+        total_loss = float(sum(loss_sums))
+        examples = padded.num_examples * hp._num_epochs
+        return total_loss / (1.0 + examples)
+
+    # -- serving path --------------------------------------------------------
+
+    def _build_rep_fn(self):
+        tower_apply = self._tower_apply
+
+        def rep_fn(params, inputs, lengths):
+            emb = jnp.take(params["item_embedding"], inputs, axis=0)  # [U, T, D]
+            hidden = tower_apply(params["tower"], emb)
+            last = jnp.clip(lengths - 1, 0, inputs.shape[1] - 1)
+            return jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]
+
+        return jax.jit(rep_fn)
+
+    def _representations(self, histories: Sequence[Sequence[int]]) -> np.ndarray:
+        """Batched user representations: for each history, run the tower on
+        the last ``max_sequence_length`` items and take the final state
+        (reference ``src/models/sequence_model.rs:182-211``). An empty
+        history behaves like ``[0]`` — the reference's index inputs default
+        to item 0."""
+        t = self.hyper._max_sequence_length
+        u = len(histories)
+        inputs = np.zeros((u, t), dtype=np.int32)
+        lengths = np.zeros((u,), dtype=np.int32)
+        for i, h in enumerate(histories):
+            h = list(h)[-t:]
+            if not h:
+                h = [0]
+            inputs[i, : len(h)] = h
+            lengths[i] = len(h)
+        if self._rep_fn is None:
+            self._rep_fn = self._build_rep_fn()
+        reps = self._rep_fn(self._params, jnp.asarray(inputs), jnp.asarray(lengths))
+        return np.asarray(reps)
+
+    def user_representation(self, item_ids: Sequence[int]) -> ImplicitUser:
+        """Compute a user representation from interaction history
+        (``src/lib.rs:105-108``)."""
+        return ImplicitUser(user_embedding=self._representations([item_ids])[0])
+
+    def predict(self, user: ImplicitUser, item_ids: Sequence[int]) -> np.ndarray:
+        """Score ``item_ids`` for the user: ``dot(user, emb) + bias``
+        (``src/models/lstm.rs:338-350``). Raises
+        :class:`InvalidPredictionValue` on non-finite scores
+        (``src/models/sequence_model.rs:222-230``)."""
+        if self._predict_fn is None:
+
+            def predict_fn(params, rep, ids):
+                emb = jnp.take(params["item_embedding"], ids, axis=0)
+                bias = jnp.take(params["item_biases"], ids, axis=0)
+                return emb @ rep + bias
+
+            self._predict_fn = jax.jit(predict_fn)
+        ids = jnp.asarray(np.asarray(item_ids, dtype=np.int32))
+        rep = jnp.asarray(np.asarray(user.user_embedding, dtype=np.float32))
+        scores = np.asarray(self._predict_fn(self._params, rep, ids))
+        if not np.all(np.isfinite(scores)):
+            raise InvalidPredictionValue()
+        return scores
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        from ..utils.checkpoint import save_model
+
+        save_model(self, path)
+
+    @classmethod
+    def load(cls, path: str) -> "ImplicitSequenceModel":
+        from ..utils.checkpoint import load_model
+
+        return load_model(path)

@@ -1,0 +1,199 @@
+"""The batched sequence-model training engine.
+
+TPU-native replacement for the reference's ``fit_sequence_model``
+(``src/models/sequence_model.rs:70-178``). The reference runs per-sequence
+SGD — one graph execution and one optimizer step per subsequence, with WARP
+negatives drawn by a serial rejection loop calling a SIMD dot per draw. Here
+a whole ``[B, T]`` padded batch of windows is one XLA-compiled step:
+
+1. negative *candidates* are sampled uniformly on device for every
+   (batch, timestep) position — K=5 for WARP, K=1 otherwise
+   (``src/models/sequence_model.rs:47-68, 125-138``);
+2. all touched embedding/bias rows (inputs, positives, candidates) are
+   gathered once; the loss is differentiated with respect to the *gathered
+   rows*, never the full table — so gradient cost scales with the batch,
+   not the catalog;
+3. the tower scans over input embeddings; positive and candidate scores are
+   batched dots; WARP selects, per position, the first margin-violating
+   candidate under ``stop_gradient`` (else the last draw) — exactly the
+   reference's acceptance rule, vectorized;
+4. the per-timestep pairwise loss is masked and summed (the reference's
+   prefix-sum-of-losses trick is just a masked sum over valid timesteps,
+   ``src/models/lstm.rs:322-328``);
+5. sparse Adagrad/Adam scatter-updates only the touched rows
+   (:mod:`sbr_rs_tpu.ops.optimizers`), dense updates handle tower params.
+
+Loss accounting matches the reference: the engine accumulates the summed
+pre-update loss and the number of supervised timesteps ("examples",
+``src/models/sequence_model.rs:157-158``), and ``fit`` returns
+``loss_sum / (1 + examples)`` (``src/models/sequence_model.rs:173-175``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import Loss, Optimizer
+from ..ops import optimizers as opt_ops
+from ..ops.losses import pairwise_loss
+
+WARP_CANDIDATES = 5  # reference draws at most 5 (src/models/sequence_model.rs:58)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    num_items: int
+    embedding_dim: int
+    loss: Loss
+    optimizer: Optimizer
+    learning_rate: float
+    l2_penalty: float
+
+
+def init_embedding_params(key: jax.Array, num_items: int, dim: int) -> Dict[str, jnp.ndarray]:
+    """Item table N(0, 1/dim), biases zero (reference ``src/models/lstm.rs:22-25,181``)."""
+    emb = jax.random.normal(key, (num_items, dim), dtype=jnp.float32) * (1.0 / dim)
+    biases = jnp.zeros((num_items,), dtype=jnp.float32)
+    return {"item_embedding": emb, "item_biases": biases}
+
+
+def init_opt_state(kind: Optimizer, params: Dict) -> Dict:
+    return {
+        "step": jnp.zeros((), dtype=jnp.int32),
+        "item_embedding": opt_ops.init_state(kind, params["item_embedding"]),
+        "item_biases": opt_ops.init_state(kind, params["item_biases"]),
+        "tower": jax.tree_util.tree_map(
+            lambda p: opt_ops.init_state(kind, p), params["tower"],
+            is_leaf=lambda x: isinstance(x, jnp.ndarray),
+        ),
+    }
+
+
+def make_train_step(
+    config: EngineConfig,
+    tower_apply: Callable[[Dict, jnp.ndarray], jnp.ndarray],
+) -> Callable:
+    """Build the jittable training step.
+
+    ``tower_apply(tower_params, input_embeddings [B,T,D]) -> hidden [B,T,D]``.
+
+    Returns ``train_step(params, opt_state, key, batch) ->
+    (params, opt_state, loss_sum)`` where ``batch`` has int32 ``inputs``,
+    ``targets`` ``[B, T]`` and float32 ``mask`` ``[B, T]``; ``loss_sum`` is
+    the masked pre-update loss sum (reference reads loss before stepping,
+    ``src/models/sequence_model.rs:156-161``).
+    """
+    is_warp = config.loss == Loss.WARP
+    k_cand = WARP_CANDIDATES if is_warp else 1
+    num_items = config.num_items
+    kind = config.optimizer
+    lr = config.learning_rate
+    l2 = config.l2_penalty
+
+    def train_step(params, opt_state, key, batch):
+        inputs = batch["inputs"]
+        targets = batch["targets"]
+        mask = batch["mask"]
+        b, t = inputs.shape
+        bt = b * t
+
+        candidates = jax.random.randint(key, (b, t, k_cand), 0, num_items, dtype=jnp.int32)
+
+        flat_idx = jnp.concatenate(
+            [inputs.reshape(-1), targets.reshape(-1), candidates.reshape(-1)]
+        )
+        mask_flat = mask.reshape(-1) > 0
+        occ_valid = jnp.concatenate(
+            [mask_flat, mask_flat, jnp.repeat(mask_flat, k_cand)]
+        )
+
+        # Gather all touched rows once; autodiff sees only the gathered
+        # copies, so the backward pass costs O(batch), not O(catalog).
+        emb_rows = jnp.take(params["item_embedding"], flat_idx, axis=0)
+        bias_rows = jnp.take(params["item_biases"], flat_idx, axis=0)
+
+        def loss_fn(emb_rows, bias_rows, tower_params):
+            d = emb_rows.shape[-1]
+            in_emb = emb_rows[:bt].reshape(b, t, d)
+            pos_emb = emb_rows[bt : 2 * bt].reshape(b, t, d)
+            cand_emb = emb_rows[2 * bt :].reshape(b, t, k_cand, d)
+            pos_bias = bias_rows[bt : 2 * bt].reshape(b, t)
+            cand_bias = bias_rows[2 * bt :].reshape(b, t, k_cand)
+
+            hidden = tower_apply(tower_params, in_emb)  # [B, T, D]
+
+            pos_score = jnp.einsum("btd,btd->bt", hidden, pos_emb) + pos_bias
+
+            if is_warp:
+                cand_score = jnp.einsum("btd,btkd->btk", hidden, cand_emb) + cand_bias
+                # Acceptance rule (src/models/sequence_model.rs:58-65): first
+                # candidate with 1 - pos + neg > 0, else the last draw. The
+                # selection itself is not differentiated — the reference
+                # samples with forward values only.
+                viol = (
+                    1.0
+                    - jax.lax.stop_gradient(pos_score)[..., None]
+                    + jax.lax.stop_gradient(cand_score)
+                ) > 0.0
+                first = jnp.argmax(viol, axis=-1)
+                sel = jnp.where(viol.any(axis=-1), first, k_cand - 1)
+                neg_score = jnp.take_along_axis(cand_score, sel[..., None], axis=-1)[..., 0]
+            else:
+                neg_score = (
+                    jnp.einsum("btd,btd->bt", hidden, cand_emb[:, :, 0, :])
+                    + cand_bias[:, :, 0]
+                )
+
+            losses = pairwise_loss(config.loss, pos_score, neg_score)
+            return jnp.sum(losses * mask)
+
+        loss_sum, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+            emb_rows, bias_rows, params["tower"]
+        )
+        d_emb, d_bias, d_tower = grads
+
+        step = opt_state["step"]
+        dd = opt_ops.dedupe_rows(flat_idx, occ_valid, num_items)
+
+        new_emb, emb_state = opt_ops.sparse_update(
+            kind, lr, l2,
+            params["item_embedding"], opt_state["item_embedding"],
+            dd, opt_ops.segment_sum_grads(d_emb, dd), step,
+        )
+        new_bias, bias_state = opt_ops.sparse_update(
+            kind, lr, l2,
+            params["item_biases"], opt_state["item_biases"],
+            dd, opt_ops.segment_sum_grads(d_bias, dd), step,
+        )
+
+        is_arr = lambda x: isinstance(x, jnp.ndarray)
+        tower_updates = jax.tree_util.tree_map(
+            lambda p, s, g: opt_ops.dense_update(kind, lr, l2, p, s, g, step),
+            params["tower"], opt_state["tower"], d_tower,
+            is_leaf=is_arr,
+        )
+        new_tower = jax.tree_util.tree_map(
+            lambda upd: upd[0], tower_updates, is_leaf=lambda x: isinstance(x, tuple)
+        )
+        new_tower_state = jax.tree_util.tree_map(
+            lambda upd: upd[1], tower_updates, is_leaf=lambda x: isinstance(x, tuple)
+        )
+
+        new_params = {
+            "item_embedding": new_emb,
+            "item_biases": new_bias,
+            "tower": new_tower,
+        }
+        new_opt_state = {
+            "step": step + 1,
+            "item_embedding": emb_state,
+            "item_biases": bias_state,
+            "tower": new_tower_state,
+        }
+        return new_params, new_opt_state, loss_sum
+
+    return train_step

@@ -1,0 +1,126 @@
+"""Sequence towers: the recurrent encoders mapping input-item embeddings to
+per-timestep user states.
+
+TPU-native replacements for the reference's per-timestep unrolled graphs:
+
+* LSTM (``src/models/lstm.rs:293-298`` building wyrm's ``nn::lstm`` cells,
+  Normal and Coupled variants ``src/models/lstm.rs:28-35``) — here a
+  ``lax.scan`` over a fused-gate cell. The input projection for *all*
+  timesteps is hoisted out of the scan into one large MXU matmul.
+* EWMA (``src/models/ewma.rs:302-313``): ``u_1 = i_1``,
+  ``u_t = sigmoid(alpha) * u_{t-1} + (1 - sigmoid(alpha)) * i_t`` with a
+  learnable per-dimension ``alpha`` initialized to zeros
+  (``src/models/ewma.rs:175-178``). This is a linear recurrence, so it runs
+  as a ``lax.associative_scan`` — O(log T) depth instead of O(T).
+
+Towers are pure functions over parameter pytrees; each returns the hidden
+state *after* consuming the input at each timestep, ``[B, T, D]`` — the
+state the reference scores targets against
+(``src/models/lstm.rs:300-311``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# LSTM
+# ---------------------------------------------------------------------------
+
+
+def _glorot(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[1]
+    std = (2.0 / (fan_in + fan_out)) ** 0.5
+    return std * jax.random.normal(key, shape, dtype=dtype)
+
+
+def init_lstm(key: jax.Array, dim: int, coupled: bool) -> Dict[str, jnp.ndarray]:
+    """LSTM cell parameters with fused gate matrices.
+
+    Gate order: ``[i, f, g, o]`` (normal) / ``[i, g, o]`` (coupled — the
+    forget gate is tied to ``1 - i``, reference ``src/models/lstm.rs:28-35``).
+    Per-gate Glorot init mirrors wyrm's dense-layer initialization.
+    """
+    gates = 3 if coupled else 4
+    k_x, k_h = jax.random.split(key)
+    # Per-gate Glorot over [dim, dim] blocks, laid out fused as [dim, gates*dim].
+    w_x = _glorot(k_x, (dim, gates * dim)) * 1.0
+    w_h = _glorot(k_h, (dim, gates * dim)) * 1.0
+    b = jnp.zeros((gates * dim,), dtype=jnp.float32)
+    return {"w_x": w_x, "w_h": w_h, "b": b}
+
+
+def lstm_apply(params: Dict[str, jnp.ndarray], x: jnp.ndarray, *, coupled: bool) -> jnp.ndarray:
+    """Run the LSTM over ``x [B, T, D]`` returning hidden states ``[B, T, D]``."""
+    b_, t_, d = x.shape
+    # Hoist the input projection out of the scan: one [B*T, D] @ [D, G*D]
+    # MXU matmul instead of T small ones.
+    xz = (x.reshape(b_ * t_, d) @ params["w_x"]).reshape(b_, t_, -1) + params["b"]
+    xz = xz.swapaxes(0, 1)  # [T, B, G*D]
+    w_h = params["w_h"]
+
+    def cell(carry, xz_t):
+        h, c = carry
+        z = xz_t + h @ w_h
+        if coupled:
+            i, g, o = jnp.split(z, 3, axis=-1)
+            i = jax.nn.sigmoid(i)
+            c_new = (1.0 - i) * c + i * jnp.tanh(g)
+        else:
+            i, f, g, o = jnp.split(z, 4, axis=-1)
+            i = jax.nn.sigmoid(i)
+            f = jax.nn.sigmoid(f)
+            c_new = f * c + i * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    init = (
+        jnp.zeros((b_, d), dtype=x.dtype),
+        jnp.zeros((b_, d), dtype=x.dtype),
+    )
+    _, hidden = jax.lax.scan(cell, init, xz)
+    return hidden.swapaxes(0, 1)  # [B, T, D]
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+# ---------------------------------------------------------------------------
+
+
+def init_ewma(key: jax.Array, dim: int) -> Dict[str, jnp.ndarray]:
+    """EWMA parameters: per-dimension decay logits, zero-initialized
+    (sigmoid(0) = 0.5; reference ``src/models/ewma.rs:175-178``).
+
+    The reference also allocates ``fc1``/``fc2`` dense layers that are never
+    used in its graph (``src/models/ewma.rs:179-188``) — deliberately not
+    reproduced here (dead parameters, see SURVEY.md §2.1).
+    """
+    del key
+    return {"alpha": jnp.zeros((dim,), dtype=jnp.float32)}
+
+
+def ewma_apply(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+    """Run the EWMA recurrence over ``x [B, T, D]`` via associative scan.
+
+    ``u_t = a * u_{t-1} + (1 - a) * x_t`` with ``u_0 = x_0`` is expressed as
+    the affine-map composition ``(A, B) : u -> A*u + B`` with
+    ``(A_0, B_0) = (0, x_0)`` and ``(A_t, B_t) = (a, (1-a)*x_t)``, which is
+    associative: ``(A2,B2) ∘ (A1,B1) = (A1*A2, A2*B1 + B2)``.
+    """
+    a = jax.nn.sigmoid(params["alpha"]).astype(x.dtype)  # [D]
+    b_, t_, d = x.shape
+    coeff = jnp.broadcast_to(a, (b_, t_, d))
+    coeff = coeff.at[:, 0, :].set(0.0)
+    shift = (1.0 - a) * x
+    shift = shift.at[:, 0, :].set(x[:, 0, :])
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return (a1 * a2, a2 * b1 + b2)
+
+    _, u = jax.lax.associative_scan(combine, (coeff, shift), axis=1)
+    return u

@@ -1,0 +1,196 @@
+"""Sparse-aware Adagrad / Adam.
+
+The reference trains via wyrm's ``optim::{Adagrad, Adam}`` with sparse
+row-gradients flowing into the shared embedding tables
+(``src/models/lstm.rs:234-248``, ``src/models/sequence_model.rs:163-169``):
+only rows touched by a step are updated, and the L2 penalty is applied to
+touched rows only.
+
+A TPU-native port of that semantic must avoid dense full-table updates —
+on a 10M-row table a dense Adagrad step would move ~GBs of HBM per step for
+a handful of touched rows. Instead each step:
+
+1. collects the flat row indices touched by the batch (inputs, positives,
+   negative candidates) together with an occurrence-validity mask,
+2. deduplicates them with a sort + segment-sum (static shapes, fully
+   parallel on TPU),
+3. gathers optimizer state for the unique rows, computes the update, and
+   scatters parameters/state back with ``mode='drop'`` for padding.
+
+HBM traffic is therefore proportional to *touched rows*, not table size.
+Dense (small) parameters — LSTM cell weights, the EWMA ``alpha`` — use the
+ordinary dense update, which matches the reference where those parameters
+participate in every step's graph.
+
+Update rules:
+
+* Adagrad:  ``acc += g²;  w -= lr * g / sqrt(acc + eps)``
+* Adam (lazy on sparse rows): standard Adam moments with global-step bias
+  correction; moments of untouched rows are not decayed, mirroring wyrm's
+  sparse-row behavior.
+* L2: ``g += l2 * w`` on touched rows before the update (wyrm's
+  ``l2_penalty`` semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import Optimizer
+
+_ADAGRAD_EPS = 1e-10
+_ADAM_B1 = 0.9
+_ADAM_B2 = 0.999
+_ADAM_EPS = 1e-8
+
+
+class DedupedRows(NamedTuple):
+    """Result of :func:`dedupe_rows`: a static-shape description of the
+    unique rows touched by a step.
+
+    ``order`` sorts the original occurrences; ``seg_id[i]`` is the segment
+    (unique row) of sorted occurrence ``i``; ``row_ids`` holds each
+    segment's row id, with invalid/unused segments set to ``num_rows``
+    (so scatters with ``mode='drop'`` skip them).
+    """
+
+    order: jnp.ndarray  # [M] int32 — argsort of masked indices
+    seg_id: jnp.ndarray  # [M] int32 — segment id per sorted occurrence
+    row_ids: jnp.ndarray  # [M] int — unique row per segment (num_rows = invalid)
+    valid: jnp.ndarray  # [M] bool — segment is a real (in-range) row
+
+
+def dedupe_rows(indices: jnp.ndarray, occurrence_valid: jnp.ndarray, num_rows: int) -> DedupedRows:
+    """Deduplicate touched row indices with static shapes.
+
+    ``indices``: flat int row ids, one per occurrence. ``occurrence_valid``:
+    bool per occurrence (padding / masked timesteps are invalid). Invalid
+    occurrences are remapped to ``num_rows`` so they sort last and form a
+    single dropped segment.
+    """
+    m = indices.shape[0]
+    masked = jnp.where(occurrence_valid, indices, num_rows)
+    order = jnp.argsort(masked)
+    s = masked[order]
+    starts = jnp.concatenate([jnp.ones((1,), dtype=bool), s[1:] != s[:-1]])
+    seg_id = jnp.cumsum(starts) - 1
+    row_ids = jax.ops.segment_max(s, seg_id, num_segments=m)
+    valid = (row_ids >= 0) & (row_ids < num_rows)
+    row_ids = jnp.where(valid, row_ids, num_rows)
+    return DedupedRows(order=order, seg_id=seg_id, row_ids=row_ids, valid=valid)
+
+
+def segment_sum_grads(row_grads: jnp.ndarray, dd: DedupedRows) -> jnp.ndarray:
+    """Sum per-occurrence gradients into per-unique-row gradients ([M, ...])."""
+    return jax.ops.segment_sum(row_grads[dd.order], dd.seg_id, num_segments=dd.order.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# State init
+# ---------------------------------------------------------------------------
+
+
+def init_state(kind: Optimizer, param: jnp.ndarray):
+    if kind == Optimizer.ADAGRAD:
+        return {"acc": jnp.zeros_like(param)}
+    elif kind == Optimizer.ADAM:
+        return {"m": jnp.zeros_like(param), "v": jnp.zeros_like(param)}
+    raise ValueError(f"Unknown optimizer: {kind}")
+
+
+# ---------------------------------------------------------------------------
+# Dense update (small parameters: cell weights, alpha)
+# ---------------------------------------------------------------------------
+
+
+def dense_update(
+    kind: Optimizer,
+    lr: float,
+    l2: float,
+    param: jnp.ndarray,
+    state: dict,
+    grad: jnp.ndarray,
+    step: jnp.ndarray,
+) -> Tuple[jnp.ndarray, dict]:
+    g = grad + l2 * param
+    if kind == Optimizer.ADAGRAD:
+        acc = state["acc"] + g * g
+        new_param = param - lr * g / jnp.sqrt(acc + _ADAGRAD_EPS)
+        return new_param, {"acc": acc}
+    else:  # Adam
+        m = _ADAM_B1 * state["m"] + (1.0 - _ADAM_B1) * g
+        v = _ADAM_B2 * state["v"] + (1.0 - _ADAM_B2) * (g * g)
+        t = step.astype(jnp.float32) + 1.0
+        m_hat = m / (1.0 - _ADAM_B1**t)
+        v_hat = v / (1.0 - _ADAM_B2**t)
+        new_param = param - lr * m_hat / (jnp.sqrt(v_hat) + _ADAM_EPS)
+        return new_param, {"m": m, "v": v}
+
+
+# ---------------------------------------------------------------------------
+# Sparse update (embedding tables / bias vectors)
+# ---------------------------------------------------------------------------
+
+
+def sparse_update(
+    kind: Optimizer,
+    lr: float,
+    l2: float,
+    table: jnp.ndarray,
+    state: dict,
+    dd: DedupedRows,
+    summed_grads: jnp.ndarray,
+    step: jnp.ndarray,
+) -> Tuple[jnp.ndarray, dict]:
+    """Apply an optimizer step to the unique touched rows of ``table``.
+
+    ``summed_grads``: per-unique-row gradient from :func:`segment_sum_grads`,
+    shape ``[M, ...]`` matching ``table[row]`` trailing dims.
+    """
+    was_1d = table.ndim == 1
+    if was_1d:
+        table2 = table[:, None]
+        sg = summed_grads[:, None]
+        state2 = {k: v[:, None] for k, v in state.items()}
+    else:
+        table2 = table
+        sg = summed_grads
+        state2 = state
+
+    valid = dd.valid
+    vcol = valid[:, None].astype(table2.dtype)
+    w_rows = jnp.take(table2, dd.row_ids, axis=0, mode="clip")
+    g = sg + l2 * w_rows * vcol
+
+    if kind == Optimizer.ADAGRAD:
+        acc_rows = jnp.take(state2["acc"], dd.row_ids, axis=0, mode="clip")
+        acc_new = acc_rows + g * g
+        upd = lr * g / jnp.sqrt(acc_new + _ADAGRAD_EPS)
+        new_table2 = table2.at[dd.row_ids].add(-upd * vcol, mode="drop")
+        new_acc = state2["acc"].at[dd.row_ids].add(g * g * vcol, mode="drop")
+        new_state2 = {"acc": new_acc}
+    else:  # lazy Adam
+        m_rows = jnp.take(state2["m"], dd.row_ids, axis=0, mode="clip")
+        v_rows = jnp.take(state2["v"], dd.row_ids, axis=0, mode="clip")
+        m_new = _ADAM_B1 * m_rows + (1.0 - _ADAM_B1) * g
+        v_new = _ADAM_B2 * v_rows + (1.0 - _ADAM_B2) * (g * g)
+        t = step.astype(jnp.float32) + 1.0
+        m_hat = m_new / (1.0 - _ADAM_B1**t)
+        v_hat = v_new / (1.0 - _ADAM_B2**t)
+        upd = lr * m_hat / (jnp.sqrt(v_hat) + _ADAM_EPS)
+        new_table2 = table2.at[dd.row_ids].add(-upd * vcol, mode="drop")
+        # Deduped rows are unique, so set == overwrite with the new moment.
+        new_m = state2["m"].at[dd.row_ids].add((m_new - m_rows) * vcol, mode="drop")
+        new_v = state2["v"].at[dd.row_ids].add((v_new - v_rows) * vcol, mode="drop")
+        new_state2 = {"m": new_m, "v": new_v}
+
+    if was_1d:
+        new_table = new_table2[:, 0]
+        new_state = {k: v[:, 0] for k, v in new_state2.items()}
+        return new_table, new_state
+    return new_table2, new_state2

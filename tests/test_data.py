@@ -1,0 +1,132 @@
+"""Data-layer tests, pinning the reference's invariants (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from sbr_rs_tpu import data as D
+
+
+def _random_interactions(num_users=20, num_items=20, n=100, seed=42):
+    rng = np.random.default_rng(seed)
+    return D.Interactions(
+        num_users,
+        num_items,
+        rng.integers(0, num_users, n),
+        rng.integers(0, num_items, n),
+        rng.integers(0, 50, n),
+    )
+
+
+def test_siphash24_reference_vectors():
+    """SipHash-2-4 test vectors from the reference implementation
+    (key = 000102..0f, message = first n bytes of 00 01 02 ...)."""
+    k0 = 0x0706050403020100
+    k1 = 0x0F0E0D0C0B0A0908
+    # 8-byte message 00..07 as little-endian u64:
+    msg = 0x0706050403020100
+    expected = 0x93F5F5799A932462  # official vector for len=8
+    out = D.siphash24(k0, k1, np.array([msg], dtype=np.uint64))
+    assert int(out[0]) == expected
+
+
+def test_compressed_round_trip_and_user_split():
+    """Mirrors the reference's `to_compressed` test (`src/data.rs:587-627`):
+    split + CSR round-trip preserves the interaction multiset."""
+    interactions = _random_interactions()
+    original = set(
+        zip(interactions.user_ids, interactions.item_ids, interactions.timestamps)
+    )
+
+    rng = np.random.default_rng(42)
+    train, test = D.user_based_split(interactions, rng, 0.5)
+    train_rt = train.to_compressed().to_interactions()
+    test_rt = test.to_compressed().to_interactions()
+
+    assert len(train_rt) + len(test_rt) == len(interactions)
+    recovered = set(
+        zip(train_rt.user_ids, train_rt.item_ids, train_rt.timestamps)
+    ) | set(zip(test_rt.user_ids, test_rt.item_ids, test_rt.timestamps))
+    assert recovered <= original
+    # Disjoint users:
+    assert not (set(train.user_ids) & set(test.user_ids))
+
+
+def test_user_split_deterministic_given_rng():
+    interactions = _random_interactions()
+    t1, s1 = D.user_based_split(interactions, np.random.default_rng(7), 0.3)
+    t2, s2 = D.user_based_split(interactions, np.random.default_rng(7), 0.3)
+    assert np.array_equal(t1.user_ids, t2.user_ids)
+    assert np.array_equal(s1.item_ids, s2.item_ids)
+
+
+def test_train_test_split_fractions():
+    interactions = _random_interactions(n=1000)
+    train, test = D.train_test_split(interactions, np.random.default_rng(3), 0.2)
+    assert len(test) == 200
+    assert len(train) == 800
+
+
+def test_chunk_iterator_first_chunk_smallest():
+    """Pins the first-chunk-smallest invariant (`src/data.rs:629-662`):
+    5 items with chunk_size=3 -> [0,1], [2,3,4]."""
+    inter = D.Interactions.from_arrays(
+        np.zeros(5, np.int64), np.arange(5), np.arange(5)
+    )
+    compressed = inter.to_compressed()
+    chunks = [list(c[0]) for u in compressed.iter_users() for c in u.chunks(3)]
+    assert chunks == [[0, 1], [2, 3, 4]]
+
+
+def test_compressed_sorted_by_user_then_time():
+    inter = D.Interactions.from_arrays(
+        np.array([1, 0, 1, 0]),
+        np.array([10, 11, 12, 13]),
+        np.array([5, 9, 1, 2]),
+    )
+    c = inter.to_compressed()
+    u0 = c.get_user(0)
+    u1 = c.get_user(1)
+    assert list(u0.item_ids) == [13, 11]  # timestamps 2, 9
+    assert list(u1.item_ids) == [12, 10]  # timestamps 1, 5
+    assert c.get_user(5) is None
+
+
+def test_extract_windows_filters_short():
+    """Windows of length <= 2 are dropped (`src/models/sequence_model.rs:81`)."""
+    # user 0: 5 items, chunk 3 -> first chunk [0,1] (len 2, dropped), [2,3,4] kept.
+    inter = D.Interactions.from_arrays(
+        np.zeros(5, np.int64), np.arange(5), np.arange(5)
+    )
+    windows = D.extract_windows(inter.to_compressed(), 3)
+    assert [list(w) for w in windows] == [[2, 3, 4]]
+
+
+def test_pad_windows_masks_and_counts():
+    windows = [np.array([1, 2, 3]), np.array([4, 5, 6, 7])]
+    padded = D.pad_windows(windows, 4)
+    assert padded.inputs.shape == (2, 4)
+    # window [1,2,3]: inputs [1,2], targets [2,3], 2 supervised steps
+    assert list(padded.inputs[0]) == [1, 2, 0, 0]
+    assert list(padded.targets[0]) == [2, 3, 0, 0]
+    assert list(padded.mask[0]) == [1, 1, 0, 0]
+    assert list(padded.inputs[1]) == [4, 5, 6, 0]
+    assert padded.num_examples == 2 + 3
+
+
+def test_triplet_minibatches():
+    inter = _random_interactions(n=10)
+    trip = inter.to_triplet()
+    batches = list(trip.iter_minibatch(3))
+    assert len(batches) == 3  # trailing partial batch dropped (ref behavior)
+    parts = trip.iter_minibatch_partitioned(2, 2)
+    total = sum(len(b[0]) for it in parts for b in it)
+    # two partitions of 5 rows, minibatch 2, partials dropped per partition
+    assert total == 8
+
+
+def test_shuffle_preserves_rows():
+    inter = _random_interactions(n=50)
+    before = set(zip(inter.user_ids, inter.item_ids, inter.timestamps))
+    inter.shuffle(np.random.default_rng(0))
+    after = set(zip(inter.user_ids, inter.item_ids, inter.timestamps))
+    assert before == after

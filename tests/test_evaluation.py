@@ -1,0 +1,109 @@
+"""MRR evaluation tests: exact semantics + batched/generic agreement."""
+
+import numpy as np
+
+import sbr_rs_tpu as sbr
+from sbr_rs_tpu import data as D
+from sbr_rs_tpu import evaluation
+from sbr_rs_tpu.models import ImplicitUser, ewma
+
+
+class _StubModel:
+    """Deterministic model for pinning MRR semantics via the generic path:
+    score(item) = -item_id (item 0 always ranks first)."""
+
+    def user_representation(self, item_ids):
+        return ImplicitUser(user_embedding=np.zeros(2, np.float32))
+
+    def predict(self, user, item_ids):
+        return -np.asarray(item_ids, dtype=np.float32)
+
+
+def test_generic_mrr_semantics():
+    """Users each with history [3, 2] and test item varying; catalog size 5,
+    scores = [0,-1,-2,-3,-4]; seen items masked to MIN.
+
+    user A: history=[1], test=0 -> masked {1}; 0 is top -> rank 1
+    user B: history=[0], test=2 -> masked {0}; remaining order 1,2,3,4 ->
+            rank of 2 = 2
+    """
+    inter = D.Interactions.from_arrays(
+        np.array([0, 0, 1, 1]),
+        np.array([1, 0, 0, 2]),
+        np.array([0, 1, 0, 1]),
+        num_users=2,
+        num_items=5,
+    )
+    mrr = evaluation.mrr_score(_StubModel(), inter.to_compressed())
+    assert abs(mrr - (1.0 + 0.5) / 2) < 1e-6
+
+
+def test_test_item_in_history_gets_catalog_rank():
+    """If the held-out item was already seen, it is masked to MIN and rank
+    ~= catalog size (reference masks before reading the test score,
+    `src/evaluation.rs:30-34`)."""
+    inter = D.Interactions.from_arrays(
+        np.array([0, 0, 0]),
+        np.array([1, 2, 1]),  # test item 1 already in history
+        np.array([0, 1, 2]),
+        num_users=1,
+        num_items=4,
+    )
+    mrr = evaluation.mrr_score(_StubModel(), inter.to_compressed())
+    assert abs(mrr - 1.0 / 4.0) < 1e-6
+
+
+def _toy(num_users=40, num_items=30, seq_len=10, seed=0):
+    rng = np.random.default_rng(seed)
+    users = np.repeat(np.arange(num_users), seq_len)
+    items = rng.integers(0, num_items, num_users * seq_len)
+    ts = np.tile(np.arange(seq_len), num_users)
+    return D.Interactions.from_arrays(users, items, ts, num_users, num_items)
+
+
+def test_batched_matches_generic():
+    """The chunked/batched fast path must agree with the reference-shaped
+    per-user loop on a real fitted model."""
+    inter = _toy().to_compressed()
+    model = (
+        ewma.Hyperparameters(inter.num_items, 8)
+        .num_epochs(1)
+        .from_seed(0)
+        .build()
+    )
+    model.fit(inter)
+    fast = evaluation._mrr_score_batched(model, inter)
+    slow = evaluation._mrr_score_generic(model, inter)
+    assert abs(fast - slow) < 1e-4
+
+
+def test_batched_chunking_invariance(monkeypatch):
+    """Chunked catalog streaming must not change the result."""
+    inter = _toy().to_compressed()
+    model = (
+        ewma.Hyperparameters(inter.num_items, 8)
+        .num_epochs(1)
+        .from_seed(0)
+        .build()
+    )
+    model.fit(inter)
+    full = evaluation._mrr_score_batched(model, inter)
+    monkeypatch.setattr(evaluation, "_ITEM_CHUNK", 7)
+    monkeypatch.setattr(evaluation, "_USER_BATCH", 13)
+    chunked = evaluation._mrr_score_batched(model, inter)
+    assert abs(full - chunked) < 1e-6
+
+
+def test_users_with_single_item_skipped():
+    inter = D.Interactions.from_arrays(
+        np.array([0, 1, 1, 1]),
+        np.array([1, 0, 2, 3]),
+        np.array([0, 0, 1, 2]),
+        num_users=2,
+        num_items=5,
+    )
+    # user 0 has a single interaction -> excluded from MRR
+    mrr = evaluation.mrr_score(_StubModel(), inter.to_compressed())
+    # user 1: history [0, 2], test 3; masked {0, 2} -> order 1,3,4 -> rank 2...
+    # scores: 1 -> -1, 3 -> -3, 4 -> -4 ; test score -3; >= -3: items 1, 3 -> rank 2
+    assert abs(mrr - 0.5) < 1e-6

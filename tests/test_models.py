@@ -1,0 +1,195 @@
+"""Model-level tests: fitting, error paths, serialization, API parity."""
+
+import numpy as np
+import pytest
+
+import sbr_rs_tpu as sbr
+from sbr_rs_tpu import data as D
+from sbr_rs_tpu.models import Loss, Optimizer, ewma, lstm
+
+
+def _toy_interactions(num_users=60, num_items=40, seq_len=12, seed=0):
+    """Synthetic sequences with learnable structure: user follows a cyclic
+    walk over items, so next-item prediction is learnable."""
+    rng = np.random.default_rng(seed)
+    users, items, ts = [], [], []
+    for u in range(num_users):
+        start = rng.integers(0, num_items)
+        step = 1 + (u % 3)
+        for t in range(seq_len):
+            users.append(u)
+            items.append((start + t * step) % num_items)
+            ts.append(t)
+    return D.Interactions.from_arrays(np.array(users), np.array(items), np.array(ts))
+
+
+@pytest.mark.parametrize("loss", [Loss.BPR, Loss.HINGE, Loss.WARP])
+def test_ewma_fit_runs_all_losses(loss):
+    inter = _toy_interactions().to_compressed()
+    model = (
+        ewma.Hyperparameters(inter.num_items, 8)
+        .embedding_dim(16)
+        .learning_rate(0.1)
+        .loss(loss)
+        .optimizer(Optimizer.ADAGRAD)
+        .num_epochs(2)
+        .batch_size(16)
+        .from_seed(0)
+        .build()
+    )
+    out = model.fit(inter)
+    assert np.isfinite(out)
+
+
+@pytest.mark.parametrize("variant", [lstm.LSTMVariant.NORMAL, lstm.LSTMVariant.COUPLED])
+def test_lstm_fit_and_improves(variant):
+    inter = _toy_interactions().to_compressed()
+    hp = (
+        lstm.Hyperparameters(inter.num_items, 8)
+        .embedding_dim(16)
+        .learning_rate(0.2)
+        .loss(Loss.HINGE)
+        .optimizer(Optimizer.ADAGRAD)
+        .num_epochs(1)
+        .batch_size(16)
+        .from_seed(1)
+        .lstm_variant(variant)
+    )
+    model = hp.build()
+    first = model.fit(inter)
+    later = model.fit(inter)  # continues training from current params
+    assert np.isfinite(first) and np.isfinite(later)
+    assert later < first  # loss decreases with more training
+
+
+def test_adam_fit_runs():
+    inter = _toy_interactions().to_compressed()
+    model = (
+        ewma.Hyperparameters(inter.num_items, 8)
+        .learning_rate(0.01)
+        .optimizer(Optimizer.ADAM)
+        .num_epochs(2)
+        .from_seed(0)
+        .build()
+    )
+    assert np.isfinite(model.fit(inter))
+
+
+def test_empty_interactions_raises():
+    """Reference `src/models/lstm.rs:522-530`: fitting on empty data fails
+    with NoInteractions."""
+    empty = D.Interactions(100, 100).to_compressed()
+    model = lstm.Hyperparameters(100, 100).build()
+    with pytest.raises(sbr.NoInteractions):
+        model.fit(empty)
+
+
+def test_too_short_sequences_raise():
+    """Windows of length <= 2 are filtered; all-short data -> NoInteractions."""
+    inter = D.Interactions.from_arrays(
+        np.array([0, 0, 1, 1]), np.array([1, 2, 3, 4]), np.array([0, 1, 0, 1])
+    )
+    model = ewma.Hyperparameters(inter.num_items, 16).build()
+    with pytest.raises(sbr.NoInteractions):
+        model.fit(inter.to_compressed())
+
+
+def test_user_representation_and_predict():
+    inter = _toy_interactions().to_compressed()
+    model = (
+        ewma.Hyperparameters(inter.num_items, 8).num_epochs(1).from_seed(0).build()
+    )
+    model.fit(inter)
+    rep = model.user_representation([1, 2, 3])
+    assert rep.user_embedding.shape == (16,)
+    scores = model.predict(rep, [0, 1, 2])
+    assert scores.shape == (3,)
+    assert np.all(np.isfinite(scores))
+    # Long histories are truncated to the last max_sequence_length items
+    rep_long = model.user_representation(list(range(30)) + [1, 2, 3])
+    rep_short = model.user_representation(list(range(22, 30)) + [1, 2, 3])
+    # last 8 items identical -> same representation (truncation to T=8... the
+    # last T items of both histories differ, so just check it runs finite)
+    assert np.all(np.isfinite(rep_long.user_embedding))
+    assert np.all(np.isfinite(rep_short.user_embedding))
+
+
+def test_truncation_exact():
+    """user_representation uses only the last max_sequence_length items
+    (`src/models/sequence_model.rs:188`)."""
+    inter = _toy_interactions().to_compressed()
+    model = ewma.Hyperparameters(inter.num_items, 4).from_seed(0).build()
+    a = model.user_representation([9, 9, 9, 9, 1, 2, 3, 4]).user_embedding
+    b = model.user_representation([1, 2, 3, 4]).user_embedding
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_predict_nonfinite_raises():
+    import jax.numpy as jnp
+
+    inter = _toy_interactions().to_compressed()
+    model = ewma.Hyperparameters(inter.num_items, 8).from_seed(0).build()
+    bad = np.asarray(model._params["item_biases"]).copy()
+    bad[0] = np.nan
+    model._params["item_biases"] = jnp.asarray(bad)
+    rep = model.user_representation([1, 2, 3])
+    with pytest.raises(sbr.InvalidPredictionValue):
+        model.predict(rep, [0, 1])
+
+
+def test_hyperparameters_random_in_range():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        hp = lstm.Hyperparameters.random(100, rng)
+        d = hp.to_dict()
+        assert d["max_sequence_length"] in (16, 32, 64, 128)
+        assert d["item_embedding_dim"] in (16, 32, 64, 128)
+        assert 1e-3 <= d["learning_rate"] <= 10**0.5
+        assert 1e-7 <= d["l2_penalty"] <= 1e-3
+        assert d["num_epochs"] in (8, 16, 32, 64)
+        assert d["loss"] in ("bpr", "hinge")
+
+
+def test_save_load_round_trip(tmp_path):
+    import jax
+
+    inter = _toy_interactions().to_compressed()
+    model = (
+        lstm.Hyperparameters(inter.num_items, 8)
+        .num_epochs(1)
+        .from_seed(3)
+        .build()
+    )
+    model.fit(inter)
+    rep_before = model.user_representation([1, 2, 3]).user_embedding
+
+    path = str(tmp_path / "ckpt")
+    model.save(path)
+    restored = lstm.ImplicitLSTMModel.load(path)
+
+    rep_after = restored.user_representation([1, 2, 3]).user_embedding
+    np.testing.assert_allclose(rep_before, rep_after, rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(model._params),
+        jax.tree_util.tree_leaves(restored._params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continues identically after restore (RNG state round-trips)
+    l1 = model.fit(inter)
+    l2 = restored.fit(inter)
+    assert abs(l1 - l2) < 1e-4
+
+
+def test_seed_reproducibility():
+    inter = _toy_interactions().to_compressed()
+
+    def run():
+        m = (
+            ewma.Hyperparameters(inter.num_items, 8)
+            .num_epochs(1)
+            .from_seed(7)
+            .build()
+        )
+        return m.fit(inter)
+
+    assert run() == run()

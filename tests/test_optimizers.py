@@ -1,0 +1,94 @@
+"""Sparse optimizer tests: the scatter-based sparse path must equal a dense
+reference implementation restricted to touched rows (wyrm's sparse-row
+semantics, SURVEY.md §2.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbr_rs_tpu.models import Optimizer
+from sbr_rs_tpu.ops import optimizers as O
+
+
+def _dense_reference(kind, lr, l2, table, state, row_grads_by_row, step):
+    """Reference: apply the optimizer rule to exactly the touched rows."""
+    table = np.array(table, dtype=np.float64)
+    state = {k: np.array(v, dtype=np.float64) for k, v in state.items()}
+    for row, g in row_grads_by_row.items():
+        g = np.asarray(g, dtype=np.float64) + l2 * table[row]
+        if kind == Optimizer.ADAGRAD:
+            state["acc"][row] += g * g
+            table[row] -= lr * g / np.sqrt(state["acc"][row] + 1e-10)
+        else:
+            state["m"][row] = 0.9 * state["m"][row] + 0.1 * g
+            state["v"][row] = 0.999 * state["v"][row] + 0.001 * g * g
+            t = step + 1.0
+            m_hat = state["m"][row] / (1 - 0.9**t)
+            v_hat = state["v"][row] / (1 - 0.999**t)
+            table[row] -= lr * m_hat / (np.sqrt(v_hat) + 1e-8)
+    return table, state
+
+
+@pytest.mark.parametrize("kind", [Optimizer.ADAGRAD, Optimizer.ADAM])
+@pytest.mark.parametrize("ndim", [1, 2])
+def test_sparse_update_matches_dense_on_touched_rows(kind, ndim):
+    rng = np.random.default_rng(0)
+    num_rows, d = 11, 3
+    shape = (num_rows,) if ndim == 1 else (num_rows, d)
+    table = rng.normal(size=shape).astype(np.float32)
+    state = {k: np.abs(rng.normal(size=shape)).astype(np.float32)
+             for k in (["acc"] if kind == Optimizer.ADAGRAD else ["m", "v"])}
+
+    # occurrences with duplicates + invalid entries
+    idx = np.array([3, 7, 3, 0, 7, 5, 9], dtype=np.int32)
+    valid = np.array([1, 1, 1, 1, 1, 0, 0], dtype=bool)
+    g_shape = (len(idx),) if ndim == 1 else (len(idx), d)
+    grads = rng.normal(size=g_shape).astype(np.float32)
+
+    dd = O.dedupe_rows(jnp.asarray(idx), jnp.asarray(valid), num_rows)
+    summed = O.segment_sum_grads(jnp.asarray(grads), dd)
+    new_table, new_state = O.sparse_update(
+        kind, 0.1, 0.01,
+        jnp.asarray(table), {k: jnp.asarray(v) for k, v in state.items()},
+        dd, summed, jnp.asarray(0, jnp.int32),
+    )
+
+    # reference: per-unique-row summed grads (invalid occurrences excluded)
+    by_row = {}
+    for i, (r, v) in enumerate(zip(idx, valid)):
+        if v:
+            by_row.setdefault(int(r), np.zeros(grads.shape[1:] or (1,)))
+            by_row[int(r)] = by_row[int(r)] + grads[i]
+    if ndim == 1:
+        by_row = {r: g.reshape(()) for r, g in by_row.items()}
+    exp_table, exp_state = _dense_reference(kind, 0.1, 0.01, table, state, by_row, 0.0)
+
+    np.testing.assert_allclose(np.asarray(new_table), exp_table, rtol=1e-4, atol=1e-6)
+    for k in state:
+        np.testing.assert_allclose(np.asarray(new_state[k]), exp_state[k], rtol=1e-4, atol=1e-6)
+
+    # untouched rows unchanged
+    untouched = [r for r in range(num_rows) if r not in by_row]
+    np.testing.assert_array_equal(np.asarray(new_table)[untouched], table[untouched])
+
+
+def test_dedupe_rows_basic():
+    idx = jnp.asarray(np.array([5, 2, 5, 2, 8], dtype=np.int32))
+    valid = jnp.asarray(np.array([1, 1, 1, 1, 0], dtype=bool))
+    dd = O.dedupe_rows(idx, valid, 10)
+    rows = np.asarray(dd.row_ids)
+    v = np.asarray(dd.valid)
+    real = sorted(rows[v].tolist())
+    assert real == [2, 5]
+    # invalid occurrence's segment dropped
+    assert np.all(rows[~v] == 10)
+
+
+def test_dense_update_adagrad_first_step_magnitude():
+    """With zero accumulator, the first Adagrad step is ~lr per coordinate."""
+    p = jnp.asarray(np.zeros(4, np.float32))
+    st = O.init_state(Optimizer.ADAGRAD, p)
+    g = jnp.asarray(np.array([1.0, -2.0, 0.5, 4.0], np.float32))
+    new_p, _ = O.dense_update(Optimizer.ADAGRAD, 0.1, 0.0, p, st, g, jnp.asarray(0))
+    np.testing.assert_allclose(np.abs(np.asarray(new_p)), 0.1, rtol=1e-3)
