@@ -42,6 +42,7 @@ __all__ = [
     "siphash24",
     "PaddedWindows",
     "extract_windows",
+    "extract_padded_windows",
     "pad_windows",
 ]
 
@@ -493,6 +494,65 @@ def extract_windows(
                 windows.append(item_ids[idx : idx + size])
             idx += size
     return windows
+
+
+def extract_padded_windows(
+    interactions: CompressedInteractions,
+    max_sequence_length: int,
+    min_length: int = 3,
+) -> PaddedWindows:
+    """Vectorized :func:`extract_windows` + :func:`pad_windows` in one pass —
+    no Python per-user loop, O(total windows) numpy fancy-indexing. Same
+    first-chunk-smallest / len > 2 semantics.
+    """
+    T = max_sequence_length
+    lengths = np.diff(interactions.user_pointers)
+    starts = interactions.user_pointers[:-1]
+    item_ids = interactions.item_ids
+
+    active = lengths > 0
+    L = lengths[active]
+    S = starts[active]
+    k = -(-L // T)  # windows per user
+    r = L - (k - 1) * T  # first-chunk size (== T when L % T == 0)
+
+    n_windows = int(k.sum())
+    if n_windows == 0:
+        return PaddedWindows(
+            inputs=np.zeros((0, T), np.int32),
+            targets=np.zeros((0, T), np.int32),
+            mask=np.zeros((0, T), np.float32),
+            lengths=np.zeros((0,), np.int32),
+        )
+    # Per-window user row and within-user window ordinal.
+    win_user = np.repeat(np.arange(len(L)), k)
+    user_first_win = np.concatenate([[0], np.cumsum(k)[:-1]])
+    ordinal = np.arange(n_windows) - np.repeat(user_first_win, k)
+
+    win_len = np.where(ordinal == 0, r[win_user], T)
+    win_start = S[win_user] + np.where(
+        ordinal == 0, 0, r[win_user] + (ordinal - 1) * T
+    )
+
+    keep = win_len >= min_length
+    win_len = win_len[keep]
+    win_start = win_start[keep]
+    n = len(win_len)
+
+    pos = np.arange(T)[None, :]
+    sup = pos < (win_len - 1)[:, None]  # supervised timestep mask
+    src = win_start[:, None] + pos
+    src = np.minimum(src, len(item_ids) - 1)
+    gathered = item_ids[src]
+    nxt = item_ids[np.minimum(src + 1, len(item_ids) - 1)]
+    inputs = np.where(sup, gathered, 0).astype(np.int32)
+    targets = np.where(sup, nxt, 0).astype(np.int32)
+    return PaddedWindows(
+        inputs=inputs,
+        targets=targets,
+        mask=sup.astype(np.float32),
+        lengths=(win_len - 1).astype(np.int32),
+    )
 
 
 def pad_windows(windows: Sequence[np.ndarray], max_sequence_length: int) -> PaddedWindows:

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import CompressedInteractions, extract_windows, pad_windows
+from ..data import CompressedInteractions, extract_padded_windows
 from ..errors import InvalidPredictionValue, NoInteractions
 from . import ImplicitUser, Loss, Optimizer, Parallelism
 from .engine import EngineConfig, init_embedding_params, init_opt_state, make_train_step
@@ -57,6 +57,7 @@ class Hyperparameters:
         self._batch_size = 32
         self._seed = int(np.random.SeedSequence().entropy % (2**31))
         self._mesh: Optional[jax.sharding.Mesh] = None
+        self._sparse_updates: Optional[bool] = None  # None = auto by table size
 
     # -- fluent setters (names mirror the reference) -----------------------
 
@@ -113,6 +114,13 @@ class Hyperparameters:
         sharded over ``data``, the item table/biases row-sharded over
         ``model``. New capability — the reference has no device parallelism."""
         self._mesh = mesh
+        return self
+
+    def sparse_updates(self, enabled: Optional[bool]) -> "Hyperparameters":
+        """Force the item-table update strategy: True = sort+segment sparse
+        path (O(batch) HBM traffic, required for huge catalogs), False =
+        dense scatter-add path (faster for small tables), None = auto."""
+        self._sparse_updates = enabled
         return self
 
     # -- random search (reference ``src/models/lstm.rs:141-172``) ----------
@@ -207,6 +215,15 @@ class ImplicitSequenceModel:
 
     def _engine_config(self) -> EngineConfig:
         hp = self.hyper
+        sparse = hp._sparse_updates
+        if sparse is None:
+            # Auto: dense full-table updates win while the table streams
+            # cheaply (< ~16 MB); beyond that, touched-rows-only.
+            sparse = hp._num_items * max(hp._item_embedding_dim, 1) > (1 << 22)
+        # A row-sharded table must use the sparse path: the dense cotangent
+        # would materialize per-shard full-size buffers.
+        if hp._mesh is not None and hp._mesh.shape.get("model", 1) > 1:
+            sparse = True
         return EngineConfig(
             num_items=hp._num_items,
             embedding_dim=hp._item_embedding_dim,
@@ -214,20 +231,31 @@ class ImplicitSequenceModel:
             optimizer=hp._optimizer,
             learning_rate=hp._learning_rate,
             l2_penalty=hp._l2_penalty,
+            sparse_updates=sparse,
         )
 
-    def _build_epoch_fn(self, batch_size: int, num_batches: int):
-        """One compiled epoch: `lax.scan` over shuffled minibatches."""
+    def _build_fit_fn(
+        self, batch_size: int, num_batches: int, num_epochs: int, num_windows: int
+    ):
+        """The whole fit as ONE device program: a scan over epochs of a scan
+        over shuffled minibatches — a single dispatch instead of one per
+        step (the reference pays a full graph execution + optimizer step per
+        *sequence*, ``src/models/sequence_model.rs:111-169``). Epoch
+        shuffles are generated on device (the reference shuffles
+        subsequences per epoch, ``src/models/sequence_model.rs:109``)."""
         train_step = make_train_step(self._engine_config(), self._tower_apply)
         mesh = self.hyper._mesh
+        n_pad = num_batches * batch_size
         if mesh is not None:
             from ..parallel.sharding import batch_sharding
 
             data_spec = batch_sharding(mesh, 2)
 
-        def epoch_fn(params, opt_state, key, inputs, targets, mask, perm):
-            def body(carry, batch_idx):
-                params, opt_state = carry
+        def fit_fn(params, opt_state, key, inputs, targets, mask):
+            key_steps, key_perm = jax.random.split(key)
+
+            def batch_body(carry, batch_idx):
+                params, opt_state, perm, epoch_idx = carry
                 rows = jax.lax.dynamic_slice(
                     perm, (batch_idx * batch_size,), (batch_size,)
                 )
@@ -241,16 +269,35 @@ class ImplicitSequenceModel:
                         k: jax.lax.with_sharding_constraint(v, data_spec)
                         for k, v in batch.items()
                     }
-                step_key = jax.random.fold_in(key, batch_idx)
+                step_key = jax.random.fold_in(
+                    key_steps, epoch_idx * num_batches + batch_idx
+                )
                 params, opt_state, loss = train_step(params, opt_state, step_key, batch)
-                return (params, opt_state), loss
+                return (params, opt_state, perm, epoch_idx), loss
 
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), jnp.arange(num_batches)
+            def epoch_body(carry, epoch_idx):
+                params, opt_state = carry
+                perm = jax.random.permutation(
+                    jax.random.fold_in(key_perm, epoch_idx), num_windows
+                ).astype(jnp.int32)
+                if n_pad > num_windows:
+                    # padding rows point at the zero-mask sentinel window
+                    perm = jnp.concatenate(
+                        [perm, jnp.full((n_pad - num_windows,), num_windows, jnp.int32)]
+                    )
+                (params, opt_state, _, _), losses = jax.lax.scan(
+                    batch_body,
+                    (params, opt_state, perm, epoch_idx),
+                    jnp.arange(num_batches),
+                )
+                return (params, opt_state), jnp.sum(losses)
+
+            (params, opt_state), epoch_losses = jax.lax.scan(
+                epoch_body, (params, opt_state), jnp.arange(num_epochs)
             )
-            return params, opt_state, jnp.sum(losses)
+            return params, opt_state, epoch_losses
 
-        return jax.jit(epoch_fn, donate_argnums=(0, 1))
+        return jax.jit(fit_fn, donate_argnums=(0, 1))
 
     # -- public API ----------------------------------------------------------
 
@@ -264,33 +311,39 @@ class ImplicitSequenceModel:
         rebuilt per ``fit``, ``src/models/sequence_model.rs:90``).
         """
         hp = self.hyper
-        windows = extract_windows(interactions, hp._max_sequence_length)
-        if not windows:
-            raise NoInteractions()
-        padded = pad_windows(windows, hp._max_sequence_length)
+        cache_key = (id(interactions), len(interactions), hp._max_sequence_length)
+        cached = getattr(self, "_window_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            inputs, targets, mask, n, num_examples = cached[1]
+        else:
+            padded = extract_padded_windows(interactions, hp._max_sequence_length)
+            n = len(padded)
+            if n == 0:
+                raise NoInteractions()
+            num_examples = padded.num_examples
+            # Data lives on device once; one zero-mask padding row at index n.
+            inputs = np.concatenate([padded.inputs, np.zeros((1, padded.inputs.shape[1]), np.int32)])
+            targets = np.concatenate([padded.targets, np.zeros((1, padded.targets.shape[1]), np.int32)])
+            mask = np.concatenate([padded.mask, np.zeros((1, padded.mask.shape[1]), np.float32)])
+            if hp._mesh is not None:
+                # Replicate the window store over the mesh (batch rows are
+                # gathered per step and constrained to the data axis).
+                repl = jax.sharding.NamedSharding(hp._mesh, jax.sharding.PartitionSpec())
+                inputs = jax.device_put(jnp.asarray(inputs), repl)
+                targets = jax.device_put(jnp.asarray(targets), repl)
+                mask = jax.device_put(jnp.asarray(mask), repl)
+            else:
+                inputs, targets, mask = jnp.asarray(inputs), jnp.asarray(targets), jnp.asarray(mask)
+            self._window_cache = (cache_key, (inputs, targets, mask, n, num_examples))
 
-        n = len(padded)
         batch_size = min(hp._batch_size, n)
         num_batches = -(-n // batch_size)  # ceil — no dropped windows
-        n_pad = num_batches * batch_size
 
-        # Data lives on device once; one zero-mask padding row at index n.
-        inputs = np.concatenate([padded.inputs, np.zeros((1, padded.inputs.shape[1]), np.int32)])
-        targets = np.concatenate([padded.targets, np.zeros((1, padded.targets.shape[1]), np.int32)])
-        mask = np.concatenate([padded.mask, np.zeros((1, padded.mask.shape[1]), np.float32)])
-        if hp._mesh is not None:
-            # Replicate the window store over the mesh (batch rows are
-            # gathered per step and constrained to the data axis).
-            repl = jax.sharding.NamedSharding(hp._mesh, jax.sharding.PartitionSpec())
-            inputs = jax.device_put(jnp.asarray(inputs), repl)
-            targets = jax.device_put(jnp.asarray(targets), repl)
-            mask = jax.device_put(jnp.asarray(mask), repl)
-        else:
-            inputs, targets, mask = jnp.asarray(inputs), jnp.asarray(targets), jnp.asarray(mask)
-
-        shape_key = (batch_size, num_batches, inputs.shape[0])
+        shape_key = (batch_size, num_batches, hp._num_epochs, inputs.shape[0])
         if self._epoch_fn is None or self._epoch_fn_shape != shape_key:
-            self._epoch_fn = self._build_epoch_fn(batch_size, num_batches)
+            self._epoch_fn = self._build_fit_fn(
+                batch_size, num_batches, hp._num_epochs, n
+            )
             self._epoch_fn_shape = shape_key
 
         params = self._params
@@ -300,26 +353,15 @@ class ImplicitSequenceModel:
 
             opt_state = shard_model_params(opt_state, hp._mesh)
 
-        loss_sums = []
-        for _ in range(hp._num_epochs):
-            perm = self._np_rng.permutation(n).astype(np.int32)
-            if n_pad > n:
-                perm = np.concatenate([perm, np.full((n_pad - n,), n, np.int32)])
-            self._key, epoch_key = jax.random.split(self._key)
-            perm_dev = jnp.asarray(perm)
-            if hp._mesh is not None:
-                perm_dev = jax.device_put(
-                    perm_dev,
-                    jax.sharding.NamedSharding(hp._mesh, jax.sharding.PartitionSpec()),
-                )
-            params, opt_state, loss_sum = self._epoch_fn(
-                params, opt_state, epoch_key, inputs, targets, mask, perm_dev,
-            )
-            loss_sums.append(loss_sum)
+        self._key, fit_key = jax.random.split(self._key)
+        params, _, epoch_losses = self._epoch_fn(
+            params, opt_state, fit_key, inputs, targets, mask
+        )
 
         self._params = params
-        total_loss = float(sum(loss_sums))
-        examples = padded.num_examples * hp._num_epochs
+        self._last_epoch_losses = np.asarray(epoch_losses)
+        total_loss = float(self._last_epoch_losses.sum())
+        examples = num_examples * hp._num_epochs
         return total_loss / (1.0 + examples)
 
     # -- serving path --------------------------------------------------------

@@ -52,6 +52,11 @@ class EngineConfig:
     optimizer: Optimizer
     learning_rate: float
     l2_penalty: float
+    # Update strategy for the item table/biases. "sparse" = sort+segment-sum
+    # the touched rows, O(batch) HBM traffic — required for huge catalogs.
+    # "dense" = scatter-add cotangent + full-table update with touched-row
+    # semantics — faster when the table is small (no sort on the hot path).
+    sparse_updates: bool = True
 
 
 def init_embedding_params(key: jax.Array, num_items: int, dim: int) -> Dict[str, jnp.ndarray]:
@@ -101,74 +106,112 @@ def make_train_step(
         b, t = inputs.shape
         bt = b * t
 
+        # Fused table: embedding columns + bias column. On TPU the extra
+        # column is free — the lane dimension pads to 128 either way — and
+        # it halves the number of gathers/scatters per step.
+        table_aug = jnp.concatenate(
+            [params["item_embedding"], params["item_biases"][:, None]], axis=1
+        )
+
         candidates = jax.random.randint(key, (b, t, k_cand), 0, num_items, dtype=jnp.int32)
 
+        if is_warp:
+            # WARP negative selection, forward-only (the reference samples
+            # with forward values: hidden.forward() then predict_single per
+            # draw, src/models/sequence_model.rs:125-135). Only the SELECTED
+            # negative enters the gradient path, so the backward scatter
+            # stays at 3*B*T rows regardless of the candidate count.
+            ta_sg = jax.lax.stop_gradient(table_aug)
+            tower_sg = jax.lax.stop_gradient(params["tower"])
+            in_rows0 = jnp.take(ta_sg, inputs.reshape(-1), axis=0)
+            hidden0 = tower_apply(tower_sg, in_rows0[:, :-1].reshape(b, t, -1))
+            pos_rows0 = jnp.take(ta_sg, targets.reshape(-1), axis=0)
+            pos_score0 = (
+                jnp.einsum("btd,btd->bt", hidden0, pos_rows0[:, :-1].reshape(b, t, -1))
+                + pos_rows0[:, -1].reshape(b, t)
+            )
+            cand_rows = jnp.take(ta_sg, candidates.reshape(-1), axis=0)
+            cand_emb = cand_rows[:, :-1].reshape(b, t, k_cand, -1)
+            cand_bias = cand_rows[:, -1].reshape(b, t, k_cand)
+            cand_score = jnp.einsum("btd,btkd->btk", hidden0, cand_emb) + cand_bias
+            # Acceptance rule (src/models/sequence_model.rs:58-65): first
+            # candidate with 1 - pos + neg > 0, else the last draw.
+            viol = (1.0 - pos_score0[..., None] + cand_score) > 0.0
+            first = jnp.argmax(viol, axis=-1)
+            sel = jnp.where(viol.any(axis=-1), first, k_cand - 1)
+            negatives = jnp.take_along_axis(candidates, sel[..., None], axis=-1)[..., 0]
+        else:
+            negatives = candidates[:, :, 0]
+
         flat_idx = jnp.concatenate(
-            [inputs.reshape(-1), targets.reshape(-1), candidates.reshape(-1)]
+            [inputs.reshape(-1), targets.reshape(-1), negatives.reshape(-1)]
         )
         mask_flat = mask.reshape(-1) > 0
-        occ_valid = jnp.concatenate(
-            [mask_flat, mask_flat, jnp.repeat(mask_flat, k_cand)]
-        )
+        occ_valid = jnp.concatenate([mask_flat, mask_flat, mask_flat])
 
-        # Gather all touched rows once; autodiff sees only the gathered
-        # copies, so the backward pass costs O(batch), not O(catalog).
-        emb_rows = jnp.take(params["item_embedding"], flat_idx, axis=0)
-        bias_rows = jnp.take(params["item_biases"], flat_idx, axis=0)
-
-        def loss_fn(emb_rows, bias_rows, tower_params):
+        def scored_loss(rows_aug, tower_params):
+            emb_rows = rows_aug[:, :-1]
+            bias_rows = rows_aug[:, -1]
             d = emb_rows.shape[-1]
             in_emb = emb_rows[:bt].reshape(b, t, d)
             pos_emb = emb_rows[bt : 2 * bt].reshape(b, t, d)
-            cand_emb = emb_rows[2 * bt :].reshape(b, t, k_cand, d)
+            neg_emb = emb_rows[2 * bt :].reshape(b, t, d)
             pos_bias = bias_rows[bt : 2 * bt].reshape(b, t)
-            cand_bias = bias_rows[2 * bt :].reshape(b, t, k_cand)
+            neg_bias = bias_rows[2 * bt :].reshape(b, t)
 
             hidden = tower_apply(tower_params, in_emb)  # [B, T, D]
-
             pos_score = jnp.einsum("btd,btd->bt", hidden, pos_emb) + pos_bias
-
-            if is_warp:
-                cand_score = jnp.einsum("btd,btkd->btk", hidden, cand_emb) + cand_bias
-                # Acceptance rule (src/models/sequence_model.rs:58-65): first
-                # candidate with 1 - pos + neg > 0, else the last draw. The
-                # selection itself is not differentiated — the reference
-                # samples with forward values only.
-                viol = (
-                    1.0
-                    - jax.lax.stop_gradient(pos_score)[..., None]
-                    + jax.lax.stop_gradient(cand_score)
-                ) > 0.0
-                first = jnp.argmax(viol, axis=-1)
-                sel = jnp.where(viol.any(axis=-1), first, k_cand - 1)
-                neg_score = jnp.take_along_axis(cand_score, sel[..., None], axis=-1)[..., 0]
-            else:
-                neg_score = (
-                    jnp.einsum("btd,btd->bt", hidden, cand_emb[:, :, 0, :])
-                    + cand_bias[:, :, 0]
-                )
+            neg_score = jnp.einsum("btd,btd->bt", hidden, neg_emb) + neg_bias
 
             losses = pairwise_loss(config.loss, pos_score, neg_score)
             return jnp.sum(losses * mask)
 
-        loss_sum, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
-            emb_rows, bias_rows, params["tower"]
-        )
-        d_emb, d_bias, d_tower = grads
-
         step = opt_state["step"]
-        dd = opt_ops.dedupe_rows(flat_idx, occ_valid, num_items)
 
-        new_emb, emb_state = opt_ops.sparse_update(
-            kind, lr, l2,
-            params["item_embedding"], opt_state["item_embedding"],
-            dd, opt_ops.segment_sum_grads(d_emb, dd), step,
-        )
-        new_bias, bias_state = opt_ops.sparse_update(
-            kind, lr, l2,
-            params["item_biases"], opt_state["item_biases"],
-            dd, opt_ops.segment_sum_grads(d_bias, dd), step,
-        )
+        # ONE gather for embeddings + biases; autodiff sees only the
+        # gathered copies, so the backward pass costs O(batch) regardless of
+        # the catalog size.
+        rows_aug = jnp.take(table_aug, flat_idx, axis=0)  # [M, D+1]
+        loss_sum, (d_rows, d_tower) = jax.value_and_grad(
+            scored_loss, argnums=(0, 1)
+        )(rows_aug, params["tower"])
+
+        if config.sparse_updates:
+            dd = opt_ops.dedupe_rows(flat_idx, occ_valid, num_items)
+            summed = opt_ops.segment_sum_grads(d_rows, dd)
+            new_emb, emb_state = opt_ops.sparse_update(
+                kind, lr, l2,
+                params["item_embedding"], opt_state["item_embedding"],
+                dd, summed[:, :-1], step,
+            )
+            new_bias, bias_state = opt_ops.sparse_update(
+                kind, lr, l2,
+                params["item_biases"], opt_state["item_biases"],
+                dd, summed[:, -1], step,
+            )
+        else:
+            # Small catalog: ONE scatter-add accumulates the embedding
+            # cotangent, the bias cotangent, and the touched-row counts.
+            scatter_idx = jnp.where(occ_valid, flat_idx, num_items)
+            payload = jnp.concatenate(
+                [d_rows, jnp.ones((d_rows.shape[0], 1), d_rows.dtype)], axis=1
+            )
+            d_aug = (
+                jnp.zeros((num_items, payload.shape[1]), payload.dtype)
+                .at[scatter_idx]
+                .add(payload, mode="drop")
+            )
+            touched = d_aug[:, -1] > 0
+            new_emb, emb_state = opt_ops.dense_row_update(
+                kind, lr, l2,
+                params["item_embedding"], opt_state["item_embedding"],
+                d_aug[:, :-2], touched, step,
+            )
+            new_bias, bias_state = opt_ops.dense_row_update(
+                kind, lr, l2,
+                params["item_biases"], opt_state["item_biases"],
+                d_aug[:, -2], touched, step,
+            )
 
         is_arr = lambda x: isinstance(x, jnp.ndarray)
         tower_updates = jax.tree_util.tree_map(

@@ -133,6 +133,49 @@ def dense_update(
 
 
 # ---------------------------------------------------------------------------
+# Dense-table update with touched-row semantics (small catalogs)
+# ---------------------------------------------------------------------------
+
+
+def dense_row_update(
+    kind: Optimizer,
+    lr: float,
+    l2: float,
+    table: jnp.ndarray,
+    state: dict,
+    grad: jnp.ndarray,
+    touched: jnp.ndarray,
+    step: jnp.ndarray,
+) -> Tuple[jnp.ndarray, dict]:
+    """Full-table update that preserves the sparse (touched-rows-only)
+    semantics: L2 decay and Adam moment decay apply only to rows the batch
+    touched. For small catalogs this beats the sort+segment sparse path —
+    the whole table is cheaper to stream than a sort of the occurrences.
+
+    ``grad``: dense cotangent (scatter-add of row grads, zeros elsewhere).
+    ``touched``: bool [num_rows].
+    """
+    t_mask = touched if table.ndim == 1 else touched[:, None]
+    g = grad + l2 * table * t_mask
+    if kind == Optimizer.ADAGRAD:
+        acc = state["acc"] + g * g  # untouched rows add 0
+        new_table = table - lr * g / jnp.sqrt(acc + _ADAGRAD_EPS)
+        return new_table, {"acc": acc}
+    else:  # lazy Adam: moments of untouched rows are not decayed
+        m_new = _ADAM_B1 * state["m"] + (1.0 - _ADAM_B1) * g
+        v_new = _ADAM_B2 * state["v"] + (1.0 - _ADAM_B2) * (g * g)
+        m = jnp.where(t_mask, m_new, state["m"])
+        v = jnp.where(t_mask, v_new, state["v"])
+        t = step.astype(jnp.float32) + 1.0
+        m_hat = m / (1.0 - _ADAM_B1**t)
+        v_hat = v / (1.0 - _ADAM_B2**t)
+        new_table = table - jnp.where(
+            t_mask, lr * m_hat / (jnp.sqrt(v_hat) + _ADAM_EPS), 0.0
+        )
+        return new_table, {"m": m, "v": v}
+
+
+# ---------------------------------------------------------------------------
 # Sparse update (embedding tables / bias vectors)
 # ---------------------------------------------------------------------------
 

@@ -113,6 +113,27 @@ def test_pad_windows_masks_and_counts():
     assert padded.num_examples == 2 + 3
 
 
+def test_extract_padded_windows_matches_loop_version():
+    """Vectorized windowing must equal extract_windows + pad_windows for
+    arbitrary history lengths and chunk sizes."""
+    rng = np.random.default_rng(5)
+    for trial in range(5):
+        num_users = int(rng.integers(1, 30))
+        lengths = rng.integers(0, 40, num_users)
+        users = np.repeat(np.arange(num_users), lengths)
+        n = len(users)
+        inter = D.Interactions.from_arrays(
+            users, rng.integers(0, 50, n), np.arange(n), num_users, 50
+        ).to_compressed()
+        for T in (3, 5, 16):
+            slow = D.pad_windows(D.extract_windows(inter, T), T)
+            fast = D.extract_padded_windows(inter, T)
+            np.testing.assert_array_equal(fast.inputs, slow.inputs)
+            np.testing.assert_array_equal(fast.targets, slow.targets)
+            np.testing.assert_array_equal(fast.mask, slow.mask)
+            np.testing.assert_array_equal(fast.lengths, slow.lengths)
+
+
 def test_triplet_minibatches():
     inter = _random_interactions(n=10)
     trip = inter.to_triplet()
