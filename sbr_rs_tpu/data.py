@@ -334,8 +334,17 @@ class CompressedInteractions:
     @classmethod
     def from_interactions(cls, interactions: Interactions) -> "CompressedInteractions":
         # Stable sort by (user_id, timestamp) — equal keys keep input order,
-        # matching Rust's stable `sort_by` (`src/data.rs:236-265`).
-        order = np.lexsort((interactions.timestamps, interactions.user_ids))
+        # matching Rust's stable `sort_by` (`src/data.rs:236-265`). The
+        # native (C++) backend handles large datasets; numpy lexsort (also
+        # stable) is the fallback.
+        from . import _native
+
+        if _native.available():
+            order = _native.stable_order_by_user_ts(
+                interactions.user_ids, interactions.timestamps
+            )
+        else:
+            order = np.lexsort((interactions.timestamps, interactions.user_ids))
         item_ids = interactions.item_ids[order]
         timestamps = interactions.timestamps[order]
         counts = np.bincount(
@@ -502,9 +511,29 @@ def extract_padded_windows(
     min_length: int = 3,
 ) -> PaddedWindows:
     """Vectorized :func:`extract_windows` + :func:`pad_windows` in one pass —
-    no Python per-user loop, O(total windows) numpy fancy-indexing. Same
-    first-chunk-smallest / len > 2 semantics.
+    no Python per-user loop. Uses the native (C++) backend when available
+    (:mod:`sbr_rs_tpu._native`), else O(total windows) numpy fancy-indexing.
+    Same first-chunk-smallest / len > 2 semantics either way.
     """
+    from . import _native
+
+    if _native.available():
+        inputs, targets, mask, lengths = _native.extract_padded_windows(
+            interactions.user_pointers,
+            interactions.item_ids,
+            max_sequence_length,
+            min_length,
+        )
+        return PaddedWindows(inputs=inputs, targets=targets, mask=mask, lengths=lengths)
+    return _extract_padded_windows_numpy(interactions, max_sequence_length, min_length)
+
+
+def _extract_padded_windows_numpy(
+    interactions: CompressedInteractions,
+    max_sequence_length: int,
+    min_length: int = 3,
+) -> PaddedWindows:
+    """Pure-numpy reference implementation of :func:`extract_padded_windows`."""
     T = max_sequence_length
     lengths = np.diff(interactions.user_pointers)
     starts = interactions.user_pointers[:-1]

@@ -44,7 +44,13 @@ def _data_dir() -> Path:
 def _load_interactions_csv(path: Path) -> Interactions:
     """Parse a ``user_id,item_id,rating,timestamp`` CSV; ``rating`` ignored
     (reference deserializes into a struct without a rating field,
-    ``src/data.rs:16-21`` + ``src/datasets.rs:57-60``)."""
+    ``src/data.rs:16-21`` + ``src/datasets.rs:57-60``). Uses the native
+    (C++) parser when available; numpy loadtxt is the fallback."""
+    from . import _native
+
+    if _native.available():
+        users, items, ts = _native.parse_interactions_csv(str(path))
+        return Interactions.from_arrays(users, items, ts)
     raw = np.loadtxt(path, delimiter=",", skiprows=1, dtype=np.int64, usecols=(0, 1, 3))
     return Interactions.from_arrays(raw[:, 0], raw[:, 1], raw[:, 2])
 

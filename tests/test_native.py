@@ -1,0 +1,70 @@
+"""Native (C++) data backend: build, and equivalence with the numpy path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sbr_rs_tpu import _native
+from sbr_rs_tpu import data as D
+
+
+pytestmark = pytest.mark.skipif(
+    not _native.available(), reason="native backend unavailable (no g++?)"
+)
+
+
+def _random_interactions(n=5000, num_users=200, num_items=300, seed=0):
+    rng = np.random.default_rng(seed)
+    return D.Interactions.from_arrays(
+        rng.integers(0, num_users, n),
+        rng.integers(0, num_items, n),
+        rng.integers(0, 10_000, n),
+        num_users,
+        num_items,
+    )
+
+
+def test_stable_order_matches_lexsort():
+    inter = _random_interactions()
+    native = _native.stable_order_by_user_ts(inter.user_ids, inter.timestamps)
+    ref = np.lexsort((inter.timestamps, inter.user_ids))
+    np.testing.assert_array_equal(native, ref)
+
+
+def test_windows_match_numpy_path():
+    inter = _random_interactions().to_compressed()
+    for T in (4, 7, 16):
+        got = _native.extract_padded_windows(
+            inter.user_pointers, inter.item_ids, T, 3
+        )
+        want = D._extract_padded_windows_numpy(inter, T)
+        np.testing.assert_array_equal(got[0], want.inputs)
+        np.testing.assert_array_equal(got[1], want.targets)
+        np.testing.assert_array_equal(got[2], want.mask)
+        np.testing.assert_array_equal(got[3], want.lengths)
+
+
+def test_csv_parse(tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text(
+        "user_id,item_id,rating,timestamp\n"
+        "1,2,5,100\n"
+        "3,4,1,200\n"
+        "10,20,3,300\n"
+    )
+    users, items, ts = _native.parse_interactions_csv(str(p))
+    np.testing.assert_array_equal(users, [1, 3, 10])
+    np.testing.assert_array_equal(items, [2, 4, 20])
+    np.testing.assert_array_equal(ts, [100, 200, 300])
+
+
+def test_csv_parse_matches_loadtxt_on_ml100k():
+    path = "/root/reference/data.csv"
+    if not os.path.exists(path):
+        pytest.skip("ML-100K csv not present")
+    users, items, ts = _native.parse_interactions_csv(path)
+    raw = np.loadtxt(path, delimiter=",", skiprows=1, dtype=np.int64, usecols=(0, 1, 3))
+    np.testing.assert_array_equal(users, raw[:, 0])
+    np.testing.assert_array_equal(items, raw[:, 1])
+    np.testing.assert_array_equal(ts, raw[:, 2])
