@@ -21,6 +21,7 @@ batched, fully-jitted training loop:
 from __future__ import annotations
 
 import copy
+import time
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -29,6 +30,7 @@ import numpy as np
 
 from ..data import CompressedInteractions, extract_padded_windows
 from ..errors import InvalidPredictionValue, NoInteractions
+from ..utils.metrics import FitHistory, logger
 from . import ImplicitUser, Loss, Optimizer, Parallelism
 from .engine import EngineConfig, init_embedding_params, init_opt_state, make_train_step
 
@@ -198,6 +200,7 @@ class ImplicitSequenceModel:
         self._rep_fn = None
         self._rep_fn_shape = None
         self._predict_fn = None
+        self.history: Optional[FitHistory] = None
         if hyper._mesh is not None:
             from ..parallel.sharding import shard_model_params
 
@@ -354,13 +357,23 @@ class ImplicitSequenceModel:
             opt_state = shard_model_params(opt_state, hp._mesh)
 
         self._key, fit_key = jax.random.split(self._key)
+        t0 = time.perf_counter()
         params, _, epoch_losses = self._epoch_fn(
             params, opt_state, fit_key, inputs, targets, mask
         )
+        epoch_losses = np.asarray(epoch_losses)  # blocks until done
+        wall_s = time.perf_counter() - t0
 
         self._params = params
-        self._last_epoch_losses = np.asarray(epoch_losses)
-        total_loss = float(self._last_epoch_losses.sum())
+        self._last_epoch_losses = epoch_losses
+        self.history = FitHistory(
+            epoch_losses=epoch_losses,
+            examples_per_epoch=num_examples,
+            num_epochs=hp._num_epochs,
+            wall_s=wall_s,
+        )
+        logger.info(self.history.summary())
+        total_loss = float(epoch_losses.sum())
         examples = num_examples * hp._num_epochs
         return total_loss / (1.0 + examples)
 

@@ -115,39 +115,17 @@ def make_train_step(
 
         candidates = jax.random.randint(key, (b, t, k_cand), 0, num_items, dtype=jnp.int32)
 
-        if is_warp:
-            # WARP negative selection, forward-only (the reference samples
-            # with forward values: hidden.forward() then predict_single per
-            # draw, src/models/sequence_model.rs:125-135). Only the SELECTED
-            # negative enters the gradient path, so the backward scatter
-            # stays at 3*B*T rows regardless of the candidate count.
-            ta_sg = jax.lax.stop_gradient(table_aug)
-            tower_sg = jax.lax.stop_gradient(params["tower"])
-            in_rows0 = jnp.take(ta_sg, inputs.reshape(-1), axis=0)
-            hidden0 = tower_apply(tower_sg, in_rows0[:, :-1].reshape(b, t, -1))
-            pos_rows0 = jnp.take(ta_sg, targets.reshape(-1), axis=0)
-            pos_score0 = (
-                jnp.einsum("btd,btd->bt", hidden0, pos_rows0[:, :-1].reshape(b, t, -1))
-                + pos_rows0[:, -1].reshape(b, t)
-            )
-            cand_rows = jnp.take(ta_sg, candidates.reshape(-1), axis=0)
-            cand_emb = cand_rows[:, :-1].reshape(b, t, k_cand, -1)
-            cand_bias = cand_rows[:, -1].reshape(b, t, k_cand)
-            cand_score = jnp.einsum("btd,btkd->btk", hidden0, cand_emb) + cand_bias
-            # Acceptance rule (src/models/sequence_model.rs:58-65): first
-            # candidate with 1 - pos + neg > 0, else the last draw.
-            viol = (1.0 - pos_score0[..., None] + cand_score) > 0.0
-            first = jnp.argmax(viol, axis=-1)
-            sel = jnp.where(viol.any(axis=-1), first, k_cand - 1)
-            negatives = jnp.take_along_axis(candidates, sel[..., None], axis=-1)[..., 0]
-        else:
-            negatives = candidates[:, :, 0]
-
+        # ONE gather covers inputs, positives, and all negative candidates;
+        # autodiff sees only the gathered copies, so the backward pass costs
+        # O(batch) regardless of the catalog size. WARP selection happens
+        # INSIDE the differentiated function on stop_gradient'ed scores (the
+        # reference also samples with forward values, src/models/
+        # sequence_model.rs:125-135) — the tower runs once per step instead
+        # of once for selection plus once for the loss.
         flat_idx = jnp.concatenate(
-            [inputs.reshape(-1), targets.reshape(-1), negatives.reshape(-1)]
+            [inputs.reshape(-1), targets.reshape(-1), candidates.reshape(-1)]
         )
         mask_flat = mask.reshape(-1) > 0
-        occ_valid = jnp.concatenate([mask_flat, mask_flat, mask_flat])
 
         def scored_loss(rows_aug, tower_params):
             emb_rows = rows_aug[:, :-1]
@@ -155,26 +133,54 @@ def make_train_step(
             d = emb_rows.shape[-1]
             in_emb = emb_rows[:bt].reshape(b, t, d)
             pos_emb = emb_rows[bt : 2 * bt].reshape(b, t, d)
-            neg_emb = emb_rows[2 * bt :].reshape(b, t, d)
             pos_bias = bias_rows[bt : 2 * bt].reshape(b, t)
-            neg_bias = bias_rows[2 * bt :].reshape(b, t)
 
             hidden = tower_apply(tower_params, in_emb)  # [B, T, D]
             pos_score = jnp.einsum("btd,btd->bt", hidden, pos_emb) + pos_bias
-            neg_score = jnp.einsum("btd,btd->bt", hidden, neg_emb) + neg_bias
+
+            if is_warp:
+                cand_emb = emb_rows[2 * bt :].reshape(b, t, k_cand, d)
+                cand_bias = bias_rows[2 * bt :].reshape(b, t, k_cand)
+                cand_score = jnp.einsum("btd,btkd->btk", hidden, cand_emb) + cand_bias
+                # Acceptance rule (src/models/sequence_model.rs:58-65):
+                # first candidate with 1 - pos + neg > 0, else the last
+                # draw. Selection is a forward-only decision.
+                viol = jax.lax.stop_gradient(
+                    (1.0 - pos_score[..., None] + cand_score) > 0.0
+                )
+                first = jnp.argmax(viol, axis=-1)
+                sel = jnp.where(viol.any(axis=-1), first, k_cand - 1)
+                neg_score = jnp.take_along_axis(cand_score, sel[..., None], axis=-1)[..., 0]
+            else:
+                neg_emb = emb_rows[2 * bt :].reshape(b, t, d)
+                neg_bias = bias_rows[2 * bt :].reshape(b, t)
+                neg_score = jnp.einsum("btd,btd->bt", hidden, neg_emb) + neg_bias
+                sel = None
 
             losses = pairwise_loss(config.loss, pos_score, neg_score)
-            return jnp.sum(losses * mask)
+            return jnp.sum(losses * mask), sel
 
         step = opt_state["step"]
 
-        # ONE gather for embeddings + biases; autodiff sees only the
-        # gathered copies, so the backward pass costs O(batch) regardless of
-        # the catalog size.
         rows_aug = jnp.take(table_aug, flat_idx, axis=0)  # [M, D+1]
-        loss_sum, (d_rows, d_tower) = jax.value_and_grad(
-            scored_loss, argnums=(0, 1)
+        (loss_sum, sel), (d_rows, d_tower) = jax.value_and_grad(
+            scored_loss, argnums=(0, 1), has_aux=True
         )(rows_aug, params["tower"])
+
+        if is_warp:
+            # Only the SELECTED candidate is a graph row (the reference's
+            # rejected draws are scored outside the graph and receive no
+            # gradient or L2, src/models/sequence_model.rs:47-68): mark
+            # unselected candidate occurrences invalid so they neither decay
+            # nor count as touched.
+            sel_mask = (
+                jax.lax.broadcasted_iota(jnp.int32, (b, t, k_cand), 2)
+                == sel[..., None]
+            )
+            cand_valid = (sel_mask & mask_flat.reshape(b, t, 1)).reshape(-1)
+        else:
+            cand_valid = mask_flat
+        occ_valid = jnp.concatenate([mask_flat, mask_flat, cand_valid])
 
         if config.sparse_updates:
             dd = opt_ops.dedupe_rows(flat_idx, occ_valid, num_items)

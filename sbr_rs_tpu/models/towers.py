@@ -42,13 +42,18 @@ def init_lstm(key: jax.Array, dim: int, coupled: bool) -> Dict[str, jnp.ndarray]
 
     Gate order: ``[i, f, g, o]`` (normal) / ``[i, g, o]`` (coupled — the
     forget gate is tied to ``1 - i``, reference ``src/models/lstm.rs:28-35``).
-    Per-gate Glorot init mirrors wyrm's dense-layer initialization.
+    Each gate's ``[dim, dim]`` block is Glorot-initialized with per-gate
+    fan (wyrm's ``nn::lstm`` allocates each gate matrix separately), then
+    laid out fused as ``[dim, gates*dim]`` for one MXU matmul.
     """
     gates = 3 if coupled else 4
     k_x, k_h = jax.random.split(key)
-    # Per-gate Glorot over [dim, dim] blocks, laid out fused as [dim, gates*dim].
-    w_x = _glorot(k_x, (dim, gates * dim)) * 1.0
-    w_h = _glorot(k_h, (dim, gates * dim)) * 1.0
+    w_x = jnp.concatenate(
+        [_glorot(k, (dim, dim)) for k in jax.random.split(k_x, gates)], axis=1
+    )
+    w_h = jnp.concatenate(
+        [_glorot(k, (dim, dim)) for k in jax.random.split(k_h, gates)], axis=1
+    )
     b = jnp.zeros((gates * dim,), dtype=jnp.float32)
     return {"w_x": w_x, "w_h": w_h, "b": b}
 

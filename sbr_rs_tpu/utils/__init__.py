@@ -1,1 +1,5 @@
-"""Utilities: checkpointing, logging."""
+"""Utilities: checkpointing, metrics/logging, profiling."""
+
+from . import checkpoint, metrics
+
+__all__ = ["checkpoint", "metrics"]
