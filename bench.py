@@ -34,9 +34,12 @@ def main() -> None:
     train, test = sbr.data.user_based_split(data, rng, 0.2)
     train_mat = train.to_compressed()
 
+    import os
+
     max_seq_len = 32
     epochs = 10
-    batch_size = int(__import__("os").environ.get("SBR_BENCH_BATCH", "512"))
+    batch_size = int(os.environ.get("SBR_BENCH_BATCH", "512"))
+    packed = os.environ.get("SBR_BENCH_PACKED", "1") not in ("0", "false", "off")
 
     windows = extract_windows(train_mat, max_seq_len)
     examples_per_epoch = pad_windows(windows, max_seq_len).num_examples
@@ -52,6 +55,7 @@ def main() -> None:
             .optimizer(sbr.models.Optimizer.ADAGRAD)
             .num_epochs(epochs)
             .batch_size(batch_size)
+            .packed(packed)
             .from_seed(42)
             .build()
         )

@@ -1,0 +1,125 @@
+"""Large-scale benchmark configs (BASELINE.json configs[2..4]).
+
+The reference has nothing at this scale — these measure the TPU-native
+capabilities layered on top of its semantics:
+
+* ``ml1m``   — ML-1M-shaped synthetic data (6040 users x 3706 items x ~1M
+  interactions), coupled-gate LSTM dim=128, Hinge, Adam, packed
+  variable-length sequences (BASELINE config[2]).
+* ``items2m`` / ``items10m`` — synthetic long-tail catalogs with dim=256
+  LSTM, WARP, sparse (touched-rows-only) optimizer updates; ``items10m``
+  needs a sharded table (multi-chip) or >24 GB HBM — ``items2m`` is the
+  single-v5e-chip smoke of the same path (BASELINE config[3]).
+* ``mesh``   — the sharded-table + DP path on an 8-device virtual CPU mesh
+  (row-sharded embeddings over ``model``, batches over ``data``); validates
+  the config[4] program rather than its wall-clock.
+
+Usage: python benches/large_scale.py [ml1m items2m mesh ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _examples_per_sec(model, mat, epochs):
+    model.fit(mat)  # warm-up + compile
+    t0 = time.perf_counter()
+    model.fit(mat)
+    wall = time.perf_counter() - t0
+    return model.history.total_examples / wall, wall
+
+
+def bench_ml1m():
+    import sbr_rs_tpu as sbr
+    from sbr_rs_tpu.models import Loss, Optimizer, lstm
+
+    data = sbr.datasets.synthetic_interactions(6040, 3706, 165, rng=0)
+    mat = data.to_compressed()
+    epochs = 1
+    model = (
+        lstm.Hyperparameters(data.num_items, 128)
+        .embedding_dim(128)
+        .learning_rate(0.05)
+        .loss(Loss.HINGE)
+        .optimizer(Optimizer.ADAM)
+        .lstm_variant(lstm.LSTMVariant.COUPLED)
+        .num_epochs(epochs)
+        .batch_size(256)
+        .packed(True)
+        .from_seed(0)
+        .build()
+    )
+    eps, wall = _examples_per_sec(model, mat, epochs)
+    return {"config": "ml1m_packed_coupled_lstm128", "examples_per_sec": round(eps), "wall_s": round(wall, 2)}
+
+
+def bench_items(num_items: int, name: str):
+    import sbr_rs_tpu as sbr
+    from sbr_rs_tpu.models import Loss, Optimizer, lstm
+
+    data = sbr.datasets.synthetic_interactions(20_000, num_items, 50, rng=0)
+    mat = data.to_compressed()
+    model = (
+        lstm.Hyperparameters(num_items, 64)
+        .embedding_dim(256)
+        .learning_rate(0.1)
+        .loss(Loss.WARP)
+        .optimizer(Optimizer.ADAGRAD)
+        .num_epochs(1)
+        .batch_size(256)
+        .packed(True)
+        .sparse_updates(True)
+        .from_seed(0)
+        .build()
+    )
+    eps, wall = _examples_per_sec(model, mat, 1)
+    return {"config": name, "examples_per_sec": round(eps), "wall_s": round(wall, 2)}
+
+
+def bench_mesh():
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import sbr_rs_tpu as sbr
+    from sbr_rs_tpu.models import Loss, Optimizer, lstm
+    from sbr_rs_tpu.parallel import make_mesh
+
+    data = sbr.datasets.synthetic_interactions(2000, 100_000, 40, rng=0)
+    mat = data.to_compressed()
+    mesh = make_mesh(data=4, model=2)
+    model = (
+        lstm.Hyperparameters(data.num_items, 64)
+        .embedding_dim(64)
+        .learning_rate(0.1)
+        .loss(Loss.WARP)
+        .optimizer(Optimizer.ADAGRAD)
+        .num_epochs(1)
+        .batch_size(128)
+        .mesh(mesh)
+        .from_seed(0)
+        .build()
+    )
+    eps, wall = _examples_per_sec(model, mat, 1)
+    return {"config": "mesh4x2_sharded_table_cpu_virtual", "examples_per_sec": round(eps), "wall_s": round(wall, 2)}
+
+
+BENCHES = {
+    "ml1m": bench_ml1m,
+    "items2m": lambda: bench_items(2_000_000, "synthetic_2m_items_lstm256_warp"),
+    "items10m": lambda: bench_items(10_000_000, "synthetic_10m_items_lstm256_warp"),
+    "mesh": bench_mesh,
+}
+
+
+if __name__ == "__main__":
+    targets = sys.argv[1:] or ["ml1m", "items2m", "mesh"]
+    for t in targets:
+        print(json.dumps(BENCHES[t]()), flush=True)

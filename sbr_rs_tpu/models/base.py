@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import CompressedInteractions, extract_padded_windows
+from ..data import CompressedInteractions, extract_padded_windows, pack_windows
 from ..errors import InvalidPredictionValue, NoInteractions
 from ..utils.metrics import FitHistory, logger
 from . import ImplicitUser, Loss, Optimizer, Parallelism
@@ -60,6 +60,7 @@ class Hyperparameters:
         self._seed = int(np.random.SeedSequence().entropy % (2**31))
         self._mesh: Optional[jax.sharding.Mesh] = None
         self._sparse_updates: Optional[bool] = None  # None = auto by table size
+        self._packed = False
 
     # -- fluent setters (names mirror the reference) -----------------------
 
@@ -125,6 +126,15 @@ class Hyperparameters:
         self._sparse_updates = enabled
         return self
 
+    def packed(self, enabled: bool) -> "Hyperparameters":
+        """Pack several variable-length windows into each ``[T]`` row with
+        recurrence resets at window starts (:func:`sbr_rs_tpu.data.
+        pack_windows`) — mathematically identical losses at higher MXU
+        utilization. Changes batch composition, so retune lr/batch if
+        chasing exact MRR numbers."""
+        self._packed = bool(enabled)
+        return self
+
     # -- random search (reference ``src/models/lstm.rs:141-172``) ----------
 
     @classmethod
@@ -158,6 +168,7 @@ class Hyperparameters:
             "num_epochs": self._num_epochs,
             "batch_size": self._batch_size,
             "seed": self._seed,
+            "packed": self._packed,
         }
 
     @classmethod
@@ -173,6 +184,7 @@ class Hyperparameters:
         hp._num_epochs = d["num_epochs"]
         hp._batch_size = d["batch_size"]
         hp._seed = d["seed"]
+        hp._packed = d.get("packed", False)
         return hp
 
 
@@ -211,7 +223,10 @@ class ImplicitSequenceModel:
     def _init_tower(self, key: jax.Array, dim: int) -> Dict:
         raise NotImplementedError
 
-    def _tower_apply(self, tower_params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    def _tower_apply(self, tower_params: Dict, x: jnp.ndarray, starts=None) -> jnp.ndarray:
+        """Map input embeddings ``[B, T, D]`` to per-timestep user states.
+        ``starts [B, T]`` marks window boundaries in packed batches (reset
+        the recurrent state there); None for one-window-per-row batches."""
         raise NotImplementedError
 
     # -- engine wiring ------------------------------------------------------
@@ -238,7 +253,12 @@ class ImplicitSequenceModel:
         )
 
     def _build_fit_fn(
-        self, batch_size: int, num_batches: int, num_epochs: int, num_windows: int
+        self,
+        batch_size: int,
+        num_batches: int,
+        num_epochs: int,
+        num_windows: int,
+        packed: bool,
     ):
         """The whole fit as ONE device program: a scan over epochs of a scan
         over shuffled minibatches — a single dispatch instead of one per
@@ -254,7 +274,7 @@ class ImplicitSequenceModel:
 
             data_spec = batch_sharding(mesh, 2)
 
-        def fit_fn(params, opt_state, key, inputs, targets, mask):
+        def fit_fn(params, opt_state, key, inputs, targets, mask, starts):
             key_steps, key_perm = jax.random.split(key)
 
             def batch_body(carry, batch_idx):
@@ -267,6 +287,8 @@ class ImplicitSequenceModel:
                     "targets": jnp.take(targets, rows, axis=0),
                     "mask": jnp.take(mask, rows, axis=0),
                 }
+                if packed:
+                    batch["starts"] = jnp.take(starts, rows, axis=0)
                 if mesh is not None:
                     batch = {
                         k: jax.lax.with_sharding_constraint(v, data_spec)
@@ -314,38 +336,52 @@ class ImplicitSequenceModel:
         rebuilt per ``fit``, ``src/models/sequence_model.rs:90``).
         """
         hp = self.hyper
-        cache_key = (id(interactions), len(interactions), hp._max_sequence_length)
+        cache_key = (
+            id(interactions), len(interactions), hp._max_sequence_length, hp._packed,
+        )
         cached = getattr(self, "_window_cache", None)
         if cached is not None and cached[0] == cache_key:
-            inputs, targets, mask, n, num_examples = cached[1]
+            inputs, targets, mask, starts, n, num_examples = cached[1]
         else:
             padded = extract_padded_windows(interactions, hp._max_sequence_length)
-            n = len(padded)
-            if n == 0:
+            if len(padded) == 0:
                 raise NoInteractions()
+            if hp._packed:
+                padded = pack_windows(padded, hp._max_sequence_length)
+            n = len(padded)
             num_examples = padded.num_examples
+
             # Data lives on device once; one zero-mask padding row at index n.
-            inputs = np.concatenate([padded.inputs, np.zeros((1, padded.inputs.shape[1]), np.int32)])
-            targets = np.concatenate([padded.targets, np.zeros((1, padded.targets.shape[1]), np.int32)])
-            mask = np.concatenate([padded.mask, np.zeros((1, padded.mask.shape[1]), np.float32)])
+            def _with_sentinel(a):
+                return np.concatenate([a, np.zeros((1, a.shape[1]), a.dtype)])
+
+            inputs = _with_sentinel(padded.inputs)
+            targets = _with_sentinel(padded.targets)
+            mask = _with_sentinel(padded.mask)
+            starts = (
+                _with_sentinel(padded.starts)
+                if padded.starts is not None
+                else np.zeros((1, 1), np.float32)  # unused placeholder
+            )
             if hp._mesh is not None:
                 # Replicate the window store over the mesh (batch rows are
                 # gathered per step and constrained to the data axis).
                 repl = jax.sharding.NamedSharding(hp._mesh, jax.sharding.PartitionSpec())
-                inputs = jax.device_put(jnp.asarray(inputs), repl)
-                targets = jax.device_put(jnp.asarray(targets), repl)
-                mask = jax.device_put(jnp.asarray(mask), repl)
+                put = lambda a: jax.device_put(jnp.asarray(a), repl)
             else:
-                inputs, targets, mask = jnp.asarray(inputs), jnp.asarray(targets), jnp.asarray(mask)
-            self._window_cache = (cache_key, (inputs, targets, mask, n, num_examples))
+                put = jnp.asarray
+            inputs, targets, mask, starts = put(inputs), put(targets), put(mask), put(starts)
+            self._window_cache = (
+                cache_key, (inputs, targets, mask, starts, n, num_examples)
+            )
 
         batch_size = min(hp._batch_size, n)
         num_batches = -(-n // batch_size)  # ceil — no dropped windows
 
-        shape_key = (batch_size, num_batches, hp._num_epochs, inputs.shape[0])
+        shape_key = (batch_size, num_batches, hp._num_epochs, inputs.shape[0], hp._packed)
         if self._epoch_fn is None or self._epoch_fn_shape != shape_key:
             self._epoch_fn = self._build_fit_fn(
-                batch_size, num_batches, hp._num_epochs, n
+                batch_size, num_batches, hp._num_epochs, n, hp._packed
             )
             self._epoch_fn_shape = shape_key
 
@@ -359,7 +395,7 @@ class ImplicitSequenceModel:
         self._key, fit_key = jax.random.split(self._key)
         t0 = time.perf_counter()
         params, _, epoch_losses = self._epoch_fn(
-            params, opt_state, fit_key, inputs, targets, mask
+            params, opt_state, fit_key, inputs, targets, mask, starts
         )
         epoch_losses = np.asarray(epoch_losses)  # blocks until done
         wall_s = time.perf_counter() - t0

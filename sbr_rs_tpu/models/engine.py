@@ -103,6 +103,7 @@ def make_train_step(
         inputs = batch["inputs"]
         targets = batch["targets"]
         mask = batch["mask"]
+        starts = batch.get("starts")  # packed layout: window-reset positions
         b, t = inputs.shape
         bt = b * t
 
@@ -135,7 +136,7 @@ def make_train_step(
             pos_emb = emb_rows[bt : 2 * bt].reshape(b, t, d)
             pos_bias = bias_rows[bt : 2 * bt].reshape(b, t)
 
-            hidden = tower_apply(tower_params, in_emb)  # [B, T, D]
+            hidden = tower_apply(tower_params, in_emb, starts=starts)  # [B, T, D]
             pos_score = jnp.einsum("btd,btd->bt", hidden, pos_emb) + pos_bias
 
             if is_warp:

@@ -33,9 +33,18 @@ class Hyperparameters(base.Hyperparameters):
     def __init__(self, num_items: int, max_sequence_length: int):
         super().__init__(num_items, max_sequence_length)
         self._lstm_variant = LSTMVariant.COUPLED
+        self._use_pallas: "bool | None" = None  # None = auto
 
     def lstm_variant(self, variant: LSTMVariant) -> "Hyperparameters":
         self._lstm_variant = variant
+        return self
+
+    def use_pallas(self, enabled: "bool | None") -> "Hyperparameters":
+        """Force (True/False) or auto-select (None) the fused Pallas LSTM
+        kernel. Auto enables it on single-mesh TPU backends; the ``lax.scan``
+        tower is the fallback everywhere else (CPU tests, sharded meshes —
+        a pallas_call is opaque to the SPMD partitioner)."""
+        self._use_pallas = enabled
         return self
 
     @classmethod
@@ -68,10 +77,26 @@ class ImplicitLSTMModel(base.ImplicitSequenceModel):
     """An LSTM-based sequence model for implicit feedback
     (reference ``src/models/lstm.rs:385-416``)."""
 
+    def _pallas_enabled(self) -> bool:
+        import os
+
+        env = os.environ.get("SBR_PALLAS_LSTM")
+        if env is not None:
+            return env not in ("0", "false", "off")
+        forced = self.hyper._use_pallas
+        if forced is not None:
+            return forced
+        if self.hyper._mesh is not None:
+            return False
+        return jax.default_backend() in ("tpu", "axon")
+
     def _init_tower(self, key: jax.Array, dim: int) -> Dict:
         return init_lstm(key, dim, coupled=self.hyper._lstm_variant == LSTMVariant.COUPLED)
 
-    def _tower_apply(self, tower_params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-        return lstm_apply(
-            tower_params, x, coupled=self.hyper._lstm_variant == LSTMVariant.COUPLED
-        )
+    def _tower_apply(self, tower_params: Dict, x: jnp.ndarray, starts=None) -> jnp.ndarray:
+        coupled = self.hyper._lstm_variant == LSTMVariant.COUPLED
+        if self._pallas_enabled():
+            from ..ops.pallas_lstm import lstm_apply_pallas
+
+            return lstm_apply_pallas(tower_params, x, coupled=coupled, starts=starts)
+        return lstm_apply(tower_params, x, coupled=coupled, starts=starts)

@@ -58,17 +58,35 @@ def init_lstm(key: jax.Array, dim: int, coupled: bool) -> Dict[str, jnp.ndarray]
     return {"w_x": w_x, "w_h": w_h, "b": b}
 
 
-def lstm_apply(params: Dict[str, jnp.ndarray], x: jnp.ndarray, *, coupled: bool) -> jnp.ndarray:
-    """Run the LSTM over ``x [B, T, D]`` returning hidden states ``[B, T, D]``."""
+def lstm_apply(
+    params: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    *,
+    coupled: bool,
+    starts: "jnp.ndarray | None" = None,
+) -> jnp.ndarray:
+    """Run the LSTM over ``x [B, T, D]`` returning hidden states ``[B, T, D]``.
+
+    ``starts [B, T]`` (optional, packed batches): 1.0 where a new window
+    begins — the carry is reset there, so packed rows behave exactly like
+    separate sequences.
+    """
     b_, t_, d = x.shape
     # Hoist the input projection out of the scan: one [B*T, D] @ [D, G*D]
     # MXU matmul instead of T small ones.
     xz = (x.reshape(b_ * t_, d) @ params["w_x"]).reshape(b_, t_, -1) + params["b"]
     xz = xz.swapaxes(0, 1)  # [T, B, G*D]
     w_h = params["w_h"]
+    keep = None if starts is None else (1.0 - starts).swapaxes(0, 1)[..., None]  # [T, B, 1]
 
-    def cell(carry, xz_t):
+    def cell(carry, xs):
         h, c = carry
+        if starts is None:
+            xz_t = xs
+        else:
+            xz_t, keep_t = xs
+            h = h * keep_t
+            c = c * keep_t
         z = xz_t + h @ w_h
         if coupled:
             i, g, o = jnp.split(z, 3, axis=-1)
@@ -86,7 +104,8 @@ def lstm_apply(params: Dict[str, jnp.ndarray], x: jnp.ndarray, *, coupled: bool)
         jnp.zeros((b_, d), dtype=x.dtype),
         jnp.zeros((b_, d), dtype=x.dtype),
     )
-    _, hidden = jax.lax.scan(cell, init, xz)
+    xs = xz if starts is None else (xz, keep)
+    _, hidden = jax.lax.scan(cell, init, xs)
     return hidden.swapaxes(0, 1)  # [B, T, D]
 
 
@@ -107,20 +126,34 @@ def init_ewma(key: jax.Array, dim: int) -> Dict[str, jnp.ndarray]:
     return {"alpha": jnp.zeros((dim,), dtype=jnp.float32)}
 
 
-def ewma_apply(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+def ewma_apply(
+    params: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    *,
+    starts: "jnp.ndarray | None" = None,
+) -> jnp.ndarray:
     """Run the EWMA recurrence over ``x [B, T, D]`` via associative scan.
 
     ``u_t = a * u_{t-1} + (1 - a) * x_t`` with ``u_0 = x_0`` is expressed as
     the affine-map composition ``(A, B) : u -> A*u + B`` with
     ``(A_0, B_0) = (0, x_0)`` and ``(A_t, B_t) = (a, (1-a)*x_t)``, which is
     associative: ``(A2,B2) ∘ (A1,B1) = (A1*A2, A2*B1 + B2)``.
+
+    ``starts [B, T]`` (packed batches): positions where a new window begins
+    restart the recurrence — exactly the ``u_start = x_start`` rule applied
+    mid-row, so the affine map there is ``(0, x_t)``.
     """
     a = jax.nn.sigmoid(params["alpha"]).astype(x.dtype)  # [D]
     b_, t_, d = x.shape
-    coeff = jnp.broadcast_to(a, (b_, t_, d))
-    coeff = coeff.at[:, 0, :].set(0.0)
-    shift = (1.0 - a) * x
-    shift = shift.at[:, 0, :].set(x[:, 0, :])
+    if starts is None:
+        coeff = jnp.broadcast_to(a, (b_, t_, d))
+        coeff = coeff.at[:, 0, :].set(0.0)
+        shift = (1.0 - a) * x
+        shift = shift.at[:, 0, :].set(x[:, 0, :])
+    else:
+        keep = (1.0 - starts)[..., None]  # [B, T, 1]
+        coeff = a * keep
+        shift = jnp.where(keep > 0, (1.0 - a) * x, x)
 
     def combine(left, right):
         a1, b1 = left

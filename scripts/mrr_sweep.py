@@ -1,6 +1,14 @@
-"""Batch/lr retuning sweep for the reference MRR bars (SURVEY.md §7 hard
-part #2: batched synchronous steps need different lr/batch than the
-reference's per-sequence SGD)."""
+"""Batch/lr tuning sweep against the reference MRR bars.
+
+Batched synchronous training needs different (batch, lr) than the
+reference's per-sequence SGD (SURVEY.md §7 hard part #2); this drives the
+retune. Winning configs live in tests/test_integration_ml100k.py.
+
+Usage::
+
+    python scripts/mrr_sweep.py CONFIG[,CONFIG...] "BATCH:LR[:EPOCHS]" ...
+    python scripts/mrr_sweep.py lstm_warp 32:0.12 16:0.2 32:0.16:20
+"""
 
 from __future__ import annotations
 
@@ -16,18 +24,23 @@ from scripts.mrr_check import BARS, run
 
 
 def main():
-    configs = sys.argv[1:] or ["lstm_warp", "ewma_hinge", "ewma_warp"]
+    configs = sys.argv[1].split(",") if len(sys.argv) > 1 else list(BARS)
+    points = sys.argv[2:] or ["16:0.16", "32:0.16", "16:0.2", "32:0.12"]
+
     data = sbr.datasets.download_movielens_100k()
     rng = np.random.default_rng(42)
     train, test = sbr.data.user_based_split(data, rng, 0.2)
     train_mat = train.to_compressed()
     test_mat = test.to_compressed()
 
-    grid = [(16, 0.16), (32, 0.16), (64, 0.32), (32, 0.32), (16, 0.08), (128, 0.5)]
-    for batch, lr in grid:
+    for point in points:
+        parts = point.split(":")
+        batch, lr = int(parts[0]), float(parts[1])
+        epochs = int(parts[2]) if len(parts) > 2 else 10
         os.environ["SBR_CHECK_BATCH"] = str(batch)
         os.environ["SBR_CHECK_LR"] = str(lr)
-        print(f"--- batch={batch} lr={lr}", flush=True)
+        os.environ["SBR_CHECK_EPOCHS"] = str(epochs)
+        print(f"--- batch={batch} lr={lr} epochs={epochs}", flush=True)
         for name in configs:
             run(name, train_mat, test_mat, data.num_items)
 
