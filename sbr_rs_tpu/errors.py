@@ -45,6 +45,18 @@ class NoInteractions(FittingError):
         super().__init__(message)
 
 
+class NonFiniteLoss(FittingError):
+    """Training loss became non-finite (NaN/inf).
+
+    No reference counterpart (the reference returns whatever loss it
+    computed); surfacing divergence early is a deliberate addition
+    (SURVEY.md §5.3 — failure detection).
+    """
+
+    def __init__(self, message: str = "Training loss became non-finite (NaN/inf)."):
+        super().__init__(message)
+
+
 class DatasetError(SbrError):
     """Errors raised by the built-in dataset loaders.
 

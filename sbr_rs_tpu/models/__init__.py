@@ -7,8 +7,24 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+from typing import Protocol, Sequence, runtime_checkable
 
 import numpy as np
+
+
+@runtime_checkable
+class OnlineRankingModel(Protocol):
+    """Structural protocol of the reference's core trait
+    (``src/lib.rs:101-116``): anything with these two methods can be scored
+    by :func:`sbr_rs_tpu.evaluation.mrr_score`."""
+
+    def user_representation(self, item_ids: Sequence[int]) -> "ImplicitUser":
+        """Compute a user representation from an interaction history."""
+        ...
+
+    def predict(self, user: "ImplicitUser", item_ids: Sequence[int]) -> np.ndarray:
+        """Given a user representation, rank ``item_ids`` by score."""
+        ...
 
 
 @dataclasses.dataclass
@@ -61,4 +77,12 @@ class Parallelism(enum.Enum):
 
 from . import ewma, lstm  # noqa: E402  (re-exported submodules)
 
-__all__ = ["ImplicitUser", "Loss", "Optimizer", "Parallelism", "ewma", "lstm"]
+__all__ = [
+    "ImplicitUser",
+    "OnlineRankingModel",
+    "Loss",
+    "Optimizer",
+    "Parallelism",
+    "ewma",
+    "lstm",
+]

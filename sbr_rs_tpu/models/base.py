@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import CompressedInteractions, extract_padded_windows, pack_windows
-from ..errors import InvalidPredictionValue, NoInteractions
+from ..errors import InvalidPredictionValue, NoInteractions, NonFiniteLoss
 from ..utils.metrics import FitHistory, logger
 from . import ImplicitUser, Loss, Optimizer, Parallelism
 from .engine import EngineConfig, init_embedding_params, init_opt_state, make_train_step
@@ -232,6 +232,8 @@ class ImplicitSequenceModel:
     # -- engine wiring ------------------------------------------------------
 
     def _engine_config(self) -> EngineConfig:
+        import os
+
         hp = self.hyper
         sparse = hp._sparse_updates
         if sparse is None:
@@ -242,6 +244,15 @@ class ImplicitSequenceModel:
         # would materialize per-shard full-size buffers.
         if hp._mesh is not None and hp._mesh.shape.get("model", 1) > 1:
             sparse = True
+
+        # Fused one-hot gather/scatter kernels (ops/pallas_table.py) are
+        # opt-in (SBR_PALLAS_TABLE=1): with candidates kept out of the
+        # grad/scatter path, XLA's native gather wins on the measured
+        # configs (scripts/gather_profile.py) — kept for experimentation.
+        env = os.environ.get("SBR_PALLAS_TABLE")
+        table_kernel = env is not None and env not in ("0", "false", "off")
+        if table_kernel and hp._mesh is not None:
+            table_kernel = False  # pallas_call is opaque to the partitioner
         return EngineConfig(
             num_items=hp._num_items,
             embedding_dim=hp._item_embedding_dim,
@@ -250,6 +261,7 @@ class ImplicitSequenceModel:
             learning_rate=hp._learning_rate,
             l2_penalty=hp._l2_penalty,
             sparse_updates=sparse,
+            table_kernel=table_kernel,
         )
 
     def _build_fit_fn(
@@ -410,6 +422,10 @@ class ImplicitSequenceModel:
         )
         logger.info(self.history.summary())
         total_loss = float(epoch_losses.sum())
+        if not np.isfinite(total_loss):
+            raise NonFiniteLoss(
+                f"Training diverged: epoch losses {epoch_losses.tolist()}"
+            )
         examples = num_examples * hp._num_epochs
         return total_loss / (1.0 + examples)
 
@@ -451,6 +467,15 @@ class ImplicitSequenceModel:
         """Compute a user representation from interaction history
         (``src/lib.rs:105-108``)."""
         return ImplicitUser(user_embedding=self._representations([item_ids])[0])
+
+    def user_representations(
+        self, histories: Sequence[Sequence[int]]
+    ) -> List[ImplicitUser]:
+        """Batched :meth:`user_representation` — one device program for many
+        users (the serving-path batching the reference cannot do: it builds
+        a fresh graph per call, ``src/models/sequence_model.rs:186``)."""
+        reps = self._representations(histories)
+        return [ImplicitUser(user_embedding=r) for r in reps]
 
     def predict(self, user: ImplicitUser, item_ids: Sequence[int]) -> np.ndarray:
         """Score ``item_ids`` for the user: ``dot(user, emb) + bias``

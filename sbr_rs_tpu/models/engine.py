@@ -57,6 +57,10 @@ class EngineConfig:
     # "dense" = scatter-add cotangent + full-table update with touched-row
     # semantics — faster when the table is small (no sort on the hot path).
     sparse_updates: bool = True
+    # Route the row gather / scatter-add through the fused one-hot MXU
+    # kernels (ops/pallas_table.py) — the fast path for VMEM-sized catalogs
+    # on TPU; XLA gather/scatter otherwise.
+    table_kernel: bool = False
 
 
 def init_embedding_params(key: jax.Array, num_items: int, dim: int) -> Dict[str, jnp.ndarray]:
@@ -116,72 +120,82 @@ def make_train_step(
 
         candidates = jax.random.randint(key, (b, t, k_cand), 0, num_items, dtype=jnp.int32)
 
-        # ONE gather covers inputs, positives, and all negative candidates;
-        # autodiff sees only the gathered copies, so the backward pass costs
-        # O(batch) regardless of the catalog size. WARP selection happens
-        # INSIDE the differentiated function on stop_gradient'ed scores (the
-        # reference also samples with forward values, src/models/
-        # sequence_model.rs:125-135) — the tower runs once per step instead
-        # of once for selection plus once for the loss.
-        flat_idx = jnp.concatenate(
-            [inputs.reshape(-1), targets.reshape(-1), candidates.reshape(-1)]
-        )
-        mask_flat = mask.reshape(-1) > 0
+        def gather(idx):
+            if config.table_kernel:
+                from ..ops.pallas_table import gather_rows
 
-        def scored_loss(rows_aug, tower_params):
-            emb_rows = rows_aug[:, :-1]
-            bias_rows = rows_aug[:, -1]
-            d = emb_rows.shape[-1]
-            in_emb = emb_rows[:bt].reshape(b, t, d)
-            pos_emb = emb_rows[bt : 2 * bt].reshape(b, t, d)
-            pos_bias = bias_rows[bt : 2 * bt].reshape(b, t)
+                return gather_rows(table_aug, idx.reshape(-1))
+            return jnp.take(table_aug, idx.reshape(-1), axis=0)
+
+        # Gather inputs+positives once; autodiff later differentiates with
+        # respect to the gathered COPIES, so the backward pass costs
+        # O(batch) regardless of the catalog size.
+        rows_ip = gather(jnp.concatenate([inputs.reshape(-1), targets.reshape(-1)]))
+
+        if is_warp:
+            # WARP selection is a forward-only decision made from current
+            # values (the reference samples with forward passes,
+            # src/models/sequence_model.rs:125-135). Keeping the K
+            # candidates OUT of the differentiated row set is the hot-path
+            # win: grads/scatters touch 3*B*T rows, not (2+K)*B*T — only the
+            # selected draw is a graph row, exactly like the reference
+            # (rejected draws get no gradient or L2,
+            # src/models/sequence_model.rs:47-68). The selection tower pass
+            # is gradient-free and cheap next to the row traffic.
+            rows_ip_sg = jax.lax.stop_gradient(rows_ip)
+            tower_sg = jax.lax.stop_gradient(params["tower"])
+            in_emb0 = rows_ip_sg[:bt, :-1].reshape(b, t, -1)
+            hidden0 = tower_apply(tower_sg, in_emb0, starts=starts)
+            pos_score0 = (
+                jnp.einsum("btd,btd->bt", hidden0, rows_ip_sg[bt:, :-1].reshape(b, t, -1))
+                + rows_ip_sg[bt:, -1].reshape(b, t)
+            )
+            cand_rows = jax.lax.stop_gradient(gather(candidates))
+            cand_emb = cand_rows[:, :-1].reshape(b, t, k_cand, -1)
+            cand_bias = cand_rows[:, -1].reshape(b, t, k_cand)
+            cand_score = jnp.einsum("btd,btkd->btk", hidden0, cand_emb) + cand_bias
+            # Acceptance rule (src/models/sequence_model.rs:58-65): first
+            # candidate with 1 - pos + neg > 0, else the last draw.
+            viol = (1.0 - pos_score0[..., None] + cand_score) > 0.0
+            first = jnp.argmax(viol, axis=-1)
+            sel = jnp.where(viol.any(axis=-1), first, k_cand - 1)
+            negatives = jnp.take_along_axis(candidates, sel[..., None], axis=-1)[..., 0]
+            # Values of the selected rows, re-exposed as a differentiable
+            # argument (gradients attach to arguments, not provenance).
+            neg_rows = jnp.take_along_axis(
+                cand_rows.reshape(b, t, k_cand, -1), sel[..., None, None], axis=2
+            )[:, :, 0, :].reshape(bt, -1)
+        else:
+            negatives = candidates[:, :, 0]
+            neg_rows = gather(negatives)
+
+        mask_flat = mask.reshape(-1) > 0
+        occ_valid = jnp.concatenate([mask_flat, mask_flat, mask_flat])
+        flat_idx = jnp.concatenate(
+            [inputs.reshape(-1), targets.reshape(-1), negatives.reshape(-1)]
+        )
+
+        def scored_loss(rows_ip, neg_rows, tower_params):
+            d = rows_ip.shape[-1] - 1
+            in_emb = rows_ip[:bt, :-1].reshape(b, t, d)
+            pos_emb = rows_ip[bt:, :-1].reshape(b, t, d)
+            pos_bias = rows_ip[bt:, -1].reshape(b, t)
+            neg_emb = neg_rows[:, :-1].reshape(b, t, d)
+            neg_bias = neg_rows[:, -1].reshape(b, t)
 
             hidden = tower_apply(tower_params, in_emb, starts=starts)  # [B, T, D]
             pos_score = jnp.einsum("btd,btd->bt", hidden, pos_emb) + pos_bias
-
-            if is_warp:
-                cand_emb = emb_rows[2 * bt :].reshape(b, t, k_cand, d)
-                cand_bias = bias_rows[2 * bt :].reshape(b, t, k_cand)
-                cand_score = jnp.einsum("btd,btkd->btk", hidden, cand_emb) + cand_bias
-                # Acceptance rule (src/models/sequence_model.rs:58-65):
-                # first candidate with 1 - pos + neg > 0, else the last
-                # draw. Selection is a forward-only decision.
-                viol = jax.lax.stop_gradient(
-                    (1.0 - pos_score[..., None] + cand_score) > 0.0
-                )
-                first = jnp.argmax(viol, axis=-1)
-                sel = jnp.where(viol.any(axis=-1), first, k_cand - 1)
-                neg_score = jnp.take_along_axis(cand_score, sel[..., None], axis=-1)[..., 0]
-            else:
-                neg_emb = emb_rows[2 * bt :].reshape(b, t, d)
-                neg_bias = bias_rows[2 * bt :].reshape(b, t)
-                neg_score = jnp.einsum("btd,btd->bt", hidden, neg_emb) + neg_bias
-                sel = None
+            neg_score = jnp.einsum("btd,btd->bt", hidden, neg_emb) + neg_bias
 
             losses = pairwise_loss(config.loss, pos_score, neg_score)
-            return jnp.sum(losses * mask), sel
+            return jnp.sum(losses * mask)
 
         step = opt_state["step"]
 
-        rows_aug = jnp.take(table_aug, flat_idx, axis=0)  # [M, D+1]
-        (loss_sum, sel), (d_rows, d_tower) = jax.value_and_grad(
-            scored_loss, argnums=(0, 1), has_aux=True
-        )(rows_aug, params["tower"])
-
-        if is_warp:
-            # Only the SELECTED candidate is a graph row (the reference's
-            # rejected draws are scored outside the graph and receive no
-            # gradient or L2, src/models/sequence_model.rs:47-68): mark
-            # unselected candidate occurrences invalid so they neither decay
-            # nor count as touched.
-            sel_mask = (
-                jax.lax.broadcasted_iota(jnp.int32, (b, t, k_cand), 2)
-                == sel[..., None]
-            )
-            cand_valid = (sel_mask & mask_flat.reshape(b, t, 1)).reshape(-1)
-        else:
-            cand_valid = mask_flat
-        occ_valid = jnp.concatenate([mask_flat, mask_flat, cand_valid])
+        loss_sum, (d_ip, d_neg, d_tower) = jax.value_and_grad(
+            scored_loss, argnums=(0, 1, 2)
+        )(rows_ip, neg_rows, params["tower"])
+        d_rows = jnp.concatenate([d_ip, d_neg])
 
         if config.sparse_updates:
             dd = opt_ops.dedupe_rows(flat_idx, occ_valid, num_items)
@@ -203,11 +217,16 @@ def make_train_step(
             payload = jnp.concatenate(
                 [d_rows, jnp.ones((d_rows.shape[0], 1), d_rows.dtype)], axis=1
             )
-            d_aug = (
-                jnp.zeros((num_items, payload.shape[1]), payload.dtype)
-                .at[scatter_idx]
-                .add(payload, mode="drop")
-            )
+            if config.table_kernel:
+                from ..ops.pallas_table import scatter_add_rows
+
+                d_aug = scatter_add_rows(payload, scatter_idx, num_items)
+            else:
+                d_aug = (
+                    jnp.zeros((num_items, payload.shape[1]), payload.dtype)
+                    .at[scatter_idx]
+                    .add(payload, mode="drop")
+                )
             touched = d_aug[:, -1] > 0
             new_emb, emb_state = opt_ops.dense_row_update(
                 kind, lr, l2,

@@ -1,0 +1,152 @@
+"""Pallas fused embedding-table gather / scatter-add for small catalogs.
+
+Profiling on TPU v5e shows XLA's row gather/scatter costs ~1 ms per op on
+the training step's index sets nearly independently of row count — it is
+the whole step's bottleneck (the recurrence is ~free by comparison; see
+scripts/gather_profile*.py). For catalogs that fit in VMEM (ML-100K: 1683
+items, ML-1M: 3706), rows can instead be selected on the MXU:
+
+* **gather**: grid over index tiles; the whole table stays resident in
+  VMEM; each tile builds a one-hot ``[Mt, N]`` selector in registers/VMEM
+  (``broadcasted_iota == idx``) and one MXU matmul ``[Mt, N] @ [N, C]``
+  yields the rows — ~2.5x faster than XLA's gather at ML-100K shapes.
+* **scatter-add**: the transpose: ``out += onehot.T @ g`` accumulated in a
+  VMEM-resident ``[N, C]`` block across tiles. Out-of-range indices (the
+  engine's drop convention: ``idx == N``) match no one-hot column and are
+  dropped for free.
+
+The gather is differentiable (``custom_vjp``: backward = the scatter).
+Both ops are exact — one-hot matmuls in f32 add exactly one term per
+output. XLA ``jnp.take`` / ``.at[].add`` remain the fallback for large
+catalogs, CPU, and sharded meshes; equivalence is pinned in
+tests/test_pallas.py.
+
+Replaces the reference's per-row ``HogwildParameter`` sparse
+gather/update (``src/models/lstm.rs:175-181``, wyrm ``.index()`` call
+sites ``src/models/lstm.rs:272-291``) on the TPU hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Use the kernels when the one-hot work M*N stays cheap and the table fits
+# comfortably in VMEM alongside the tiles.
+MAX_KERNEL_ITEMS = 4096
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def supported(num_rows: int, cols: int) -> bool:
+    return num_rows <= MAX_KERNEL_ITEMS and num_rows * cols * 4 <= (4 << 20)
+
+
+# ---------------------------------------------------------------------------
+# Gather
+# ---------------------------------------------------------------------------
+
+
+def _gather_kernel(idx_ref, table_ref, out_ref):
+    n = table_ref.shape[0]
+    idx = idx_ref[:]  # [Mt, 1] int32
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1) == idx
+    ).astype(table_ref.dtype)
+    out_ref[:] = jnp.dot(onehot, table_ref[:], preferred_element_type=jnp.float32)
+
+
+@jax.jit
+def _gather_pallas(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    m = idx.shape[0]
+    n, c = table.shape
+    mt = 512
+    m_pad = _round_up(m, mt)
+    idx2 = jnp.full((m_pad, 1), n, jnp.int32).at[:m, 0].set(idx)
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid=(m_pad // mt,),
+        in_specs=[
+            pl.BlockSpec((mt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, c), table.dtype),
+    )(idx2, table)
+    return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# Scatter-add
+# ---------------------------------------------------------------------------
+
+
+def _scatter_kernel(idx_ref, g_ref, out_ref):
+    i = pl.program_id(0)
+    n = out_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    idx = idx_ref[:]  # [Mt, 1]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1) == idx
+    ).astype(g_ref.dtype)
+    out_ref[:] += jnp.dot(onehot.T, g_ref[:], preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_rows",))
+def _scatter_add_pallas(g: jnp.ndarray, idx: jnp.ndarray, num_rows: int) -> jnp.ndarray:
+    """sum_i onehot(idx_i) * g_i — rows with idx outside [0, num_rows) drop."""
+    m, c = g.shape
+    mt = 512
+    m_pad = _round_up(m, mt)
+    idx2 = jnp.full((m_pad, 1), num_rows, jnp.int32).at[:m, 0].set(idx)
+    if m_pad != m:
+        g = jnp.pad(g, ((0, m_pad - m), (0, 0)))
+    return pl.pallas_call(
+        _scatter_kernel,
+        grid=(m_pad // mt,),
+        in_specs=[
+            pl.BlockSpec((mt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_rows, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_rows, c), g.dtype),
+    )(idx2, g)
+
+
+# ---------------------------------------------------------------------------
+# Public differentiable gather
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` as a fused one-hot MXU kernel (differentiable)."""
+    return _gather_pallas(table, idx)
+
+
+def _gather_fwd(table, idx):
+    return _gather_pallas(table, idx), (table.shape[0], idx)
+
+
+def _gather_bwd(res, g):
+    num_rows, idx = res
+    return _scatter_add_pallas(g, idx, num_rows), None
+
+
+gather_rows.defvjp(_gather_fwd, _gather_bwd)
+
+
+def scatter_add_rows(g: jnp.ndarray, idx: jnp.ndarray, num_rows: int) -> jnp.ndarray:
+    """``zeros([num_rows, C]).at[idx].add(g)`` with drop semantics for
+    ``idx`` outside ``[0, num_rows)`` — as a fused one-hot MXU kernel."""
+    return _scatter_add_pallas(g, idx, num_rows)
