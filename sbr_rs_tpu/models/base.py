@@ -431,16 +431,32 @@ class ImplicitSequenceModel:
 
     # -- serving path --------------------------------------------------------
 
+    # One compiled representation fn per tower configuration — NOT per model
+    # instance (hyperopt fits hundreds of models; per-instance jit caches
+    # would recompile the serving path every trial).
+    _REP_FN_CACHE: Dict = {}
+
+    def _rep_fn_cache_key(self):
+        """Subclasses with tower variants must extend this key."""
+        hp = self.hyper
+        return (type(self).__name__, hp._item_embedding_dim)
+
     def _build_rep_fn(self):
-        tower_apply = self._tower_apply
+        key = self._rep_fn_cache_key()
+        cached = self._REP_FN_CACHE.get(key)
+        if cached is not None:
+            return cached
+        tower_apply = type(self)._tower_apply
 
         def rep_fn(params, inputs, lengths):
             emb = jnp.take(params["item_embedding"], inputs, axis=0)  # [U, T, D]
-            hidden = tower_apply(params["tower"], emb)
+            hidden = tower_apply(self, params["tower"], emb)
             last = jnp.clip(lengths - 1, 0, inputs.shape[1] - 1)
             return jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]
 
-        return jax.jit(rep_fn)
+        fn = jax.jit(rep_fn)
+        self._REP_FN_CACHE[key] = fn
+        return fn
 
     def _representations(self, histories: Sequence[Sequence[int]]) -> np.ndarray:
         """Batched user representations: for each history, run the tower on

@@ -77,6 +77,14 @@ class ImplicitLSTMModel(base.ImplicitSequenceModel):
     """An LSTM-based sequence model for implicit feedback
     (reference ``src/models/lstm.rs:385-416``)."""
 
+    def _rep_fn_cache_key(self):
+        return (
+            type(self).__name__,
+            self.hyper._item_embedding_dim,
+            self.hyper._lstm_variant,
+            self._pallas_enabled(),
+        )
+
     def _pallas_enabled(self) -> bool:
         import os
 
