@@ -31,20 +31,19 @@ _ITEM_CHUNK = 65536
 
 
 @jax.jit
-def _target_scores(emb, biases, reps, test_items, test_in_prefix):
+def _target_scores(table, reps, test_items, test_in_prefix):
     """Masked score of each user's held-out item (MIN if it was already seen,
     matching the mask-then-read order of ``src/evaluation.rs:30-34``)."""
-    t_emb = jnp.take(emb, test_items, axis=0)
-    t_bias = jnp.take(biases, test_items, axis=0)
-    raw = jnp.einsum("ud,ud->u", reps, t_emb) + t_bias
+    rows = jnp.take(table, test_items, axis=0)
+    raw = jnp.einsum("ud,ud->u", reps, rows[:, :-1]) + rows[:, -1]
     return jnp.where(test_in_prefix, _NEG_MIN, raw)
 
 
 def _make_chunk_counter(chunk: int):
     @jax.jit
-    def count_chunk(emb_chunk, bias_chunk, reps, prefix_local, targets, test_local, valid_cols):
+    def count_chunk(table_chunk, reps, prefix_local, targets, test_local, valid_cols):
         # scores for this slab of the catalog: [U, C]
-        scores = reps @ emb_chunk.T + bias_chunk
+        scores = reps @ table_chunk[:, :-1].T + table_chunk[:, -1]
         u = reps.shape[0]
         rows = jnp.arange(u)[:, None]
         # Mask seen items that fall in this chunk. Indices from other chunks
@@ -88,23 +87,26 @@ def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteraction
     prefixes = [u.item_ids[:-1] for u in users]
     test_items_all = np.array([u.item_ids[-1] for u in users], dtype=np.int32)
 
-    params = model._params
-    emb = params["item_embedding"]
-    biases = params["item_biases"]
+    table = model._params["item_table"]
 
     item_chunk = min(_ITEM_CHUNK, num_items)
     num_chunks = -(-num_items // item_chunk)
     # Pad the catalog so every chunk has a static shape; padded items get
-    # MIN scores and never outrank a real target (ties with MIN only matter
-    # when the target itself is masked, where rank is already ~catalog size).
+    # MIN bias (and zero embedding) and never outrank a real target (ties
+    # with MIN only matter when the target itself is masked, where rank is
+    # already ~catalog size).
     pad_items = num_chunks * item_chunk - num_items
     if pad_items:
-        emb_p = jnp.concatenate([emb, jnp.zeros((pad_items, emb.shape[1]), emb.dtype)])
-        bias_p = jnp.concatenate(
-            [biases, jnp.full((pad_items,), _NEG_MIN, biases.dtype)]
+        pad_rows = jnp.concatenate(
+            [
+                jnp.zeros((pad_items, table.shape[1] - 1), table.dtype),
+                jnp.full((pad_items, 1), _NEG_MIN, table.dtype),
+            ],
+            axis=1,
         )
+        table_p = jnp.concatenate([table, pad_rows])
     else:
-        emb_p, bias_p = emb, biases
+        table_p = table
     count_chunk = _make_chunk_counter(item_chunk)
 
     # Pad prefix lists to a common length, in fixed buckets to bound the
@@ -133,7 +135,7 @@ def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteraction
         reps_j = jnp.asarray(reps.astype(np.float32))
         prefix_j = jnp.asarray(prefix_arr)
         targets = _target_scores(
-            emb, biases, reps_j, jnp.asarray(test_items), jnp.asarray(test_in_prefix)
+            table, reps_j, jnp.asarray(test_items), jnp.asarray(test_in_prefix)
         )
 
         counts = jnp.zeros((u,), dtype=jnp.int32)
@@ -141,10 +143,9 @@ def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteraction
         test_j = jnp.asarray(test_items)
         for c in range(num_chunks):
             lo = c * item_chunk
-            emb_c = jax.lax.dynamic_slice_in_dim(emb_p, lo, item_chunk, axis=0)
-            bias_c = jax.lax.dynamic_slice_in_dim(bias_p, lo, item_chunk, axis=0)
+            table_c = jax.lax.dynamic_slice_in_dim(table_p, lo, item_chunk, axis=0)
             cnt, sh = count_chunk(
-                emb_c, bias_c, reps_j, prefix_j - lo, targets, test_j - lo,
+                table_c, reps_j, prefix_j - lo, targets, test_j - lo,
                 min(item_chunk, num_items - lo),
             )
             counts = counts + cnt

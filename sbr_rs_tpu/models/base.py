@@ -449,7 +449,7 @@ class ImplicitSequenceModel:
         tower_apply = type(self)._tower_apply
 
         def rep_fn(params, inputs, lengths):
-            emb = jnp.take(params["item_embedding"], inputs, axis=0)  # [U, T, D]
+            emb = jnp.take(params["item_table"][:, :-1], inputs, axis=0)  # [U, T, D]
             hidden = tower_apply(self, params["tower"], emb)
             last = jnp.clip(lengths - 1, 0, inputs.shape[1] - 1)
             return jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]
@@ -457,6 +457,18 @@ class ImplicitSequenceModel:
         fn = jax.jit(rep_fn)
         self._REP_FN_CACHE[key] = fn
         return fn
+
+    # -- parameter views -------------------------------------------------------
+
+    @property
+    def item_embeddings(self) -> np.ndarray:
+        """Item embedding matrix ``[num_items, dim]`` (view of the fused table)."""
+        return np.asarray(self._params["item_table"])[:, :-1]
+
+    @property
+    def item_biases(self) -> np.ndarray:
+        """Item bias vector ``[num_items]`` (view of the fused table)."""
+        return np.asarray(self._params["item_table"])[:, -1]
 
     def _representations(self, histories: Sequence[Sequence[int]]) -> np.ndarray:
         """Batched user representations: for each history, run the tower on
@@ -501,9 +513,8 @@ class ImplicitSequenceModel:
         if self._predict_fn is None:
 
             def predict_fn(params, rep, ids):
-                emb = jnp.take(params["item_embedding"], ids, axis=0)
-                bias = jnp.take(params["item_biases"], ids, axis=0)
-                return emb @ rep + bias
+                rows = jnp.take(params["item_table"], ids, axis=0)
+                return rows[:, :-1] @ rep + rows[:, -1]
 
             self._predict_fn = jax.jit(predict_fn)
         ids = jnp.asarray(np.asarray(item_ids, dtype=np.int32))

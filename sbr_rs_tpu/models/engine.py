@@ -64,17 +64,34 @@ class EngineConfig:
 
 
 def init_embedding_params(key: jax.Array, num_items: int, dim: int) -> Dict[str, jnp.ndarray]:
-    """Item table N(0, 1/dim), biases zero (reference ``src/models/lstm.rs:22-25,181``)."""
+    """The fused item table: embedding columns ``[:, :dim]`` N(0, 1/dim)
+    (reference ``src/models/lstm.rs:22-25``) plus the bias as the LAST
+    column, zero-initialized (``src/models/lstm.rs:181``).
+
+    Fusing bias into the table is the TPU-native layout: the hot path
+    gathers/scatters each item's embedding+bias as ONE row (the extra lane
+    is free — lanes pad to 128 anyway), and no per-step concatenation of a
+    catalog-sized buffer ever happens (at 10M+ items that concat would cost
+    more than the rest of the step combined).
+    """
     emb = jax.random.normal(key, (num_items, dim), dtype=jnp.float32) * (1.0 / dim)
-    biases = jnp.zeros((num_items,), dtype=jnp.float32)
-    return {"item_embedding": emb, "item_biases": biases}
+    return {"item_table": jnp.concatenate([emb, jnp.zeros((num_items, 1), jnp.float32)], axis=1)}
+
+
+def table_embeddings(params: Dict) -> jnp.ndarray:
+    """Embedding-columns view of the fused table."""
+    return params["item_table"][:, :-1]
+
+
+def table_biases(params: Dict) -> jnp.ndarray:
+    """Bias-column view of the fused table."""
+    return params["item_table"][:, -1]
 
 
 def init_opt_state(kind: Optimizer, params: Dict) -> Dict:
     return {
         "step": jnp.zeros((), dtype=jnp.int32),
-        "item_embedding": opt_ops.init_state(kind, params["item_embedding"]),
-        "item_biases": opt_ops.init_state(kind, params["item_biases"]),
+        "item_table": opt_ops.init_state(kind, params["item_table"]),
         "tower": jax.tree_util.tree_map(
             lambda p: opt_ops.init_state(kind, p), params["tower"],
             is_leaf=lambda x: isinstance(x, jnp.ndarray),
@@ -111,12 +128,11 @@ def make_train_step(
         b, t = inputs.shape
         bt = b * t
 
-        # Fused table: embedding columns + bias column. On TPU the extra
-        # column is free — the lane dimension pads to 128 either way — and
-        # it halves the number of gathers/scatters per step.
-        table_aug = jnp.concatenate(
-            [params["item_embedding"], params["item_biases"][:, None]], axis=1
-        )
+        # The fused table IS the parameter (embedding columns + bias column,
+        # init_embedding_params): each item's embedding+bias gathers and
+        # scatters as one row, and no catalog-sized buffer is ever built on
+        # the step path.
+        table = params["item_table"]
 
         candidates = jax.random.randint(key, (b, t, k_cand), 0, num_items, dtype=jnp.int32)
 
@@ -124,8 +140,8 @@ def make_train_step(
             if config.table_kernel:
                 from ..ops.pallas_table import gather_rows
 
-                return gather_rows(table_aug, idx.reshape(-1))
-            return jnp.take(table_aug, idx.reshape(-1), axis=0)
+                return gather_rows(table, idx.reshape(-1))
+            return jnp.take(table, idx.reshape(-1), axis=0)
 
         # Gather inputs+positives once; autodiff later differentiates with
         # respect to the gathered COPIES, so the backward pass costs
@@ -200,19 +216,14 @@ def make_train_step(
         if config.sparse_updates:
             dd = opt_ops.dedupe_rows(flat_idx, occ_valid, num_items)
             summed = opt_ops.segment_sum_grads(d_rows, dd)
-            new_emb, emb_state = opt_ops.sparse_update(
+            new_table, table_state = opt_ops.sparse_update(
                 kind, lr, l2,
-                params["item_embedding"], opt_state["item_embedding"],
-                dd, summed[:, :-1], step,
-            )
-            new_bias, bias_state = opt_ops.sparse_update(
-                kind, lr, l2,
-                params["item_biases"], opt_state["item_biases"],
-                dd, summed[:, -1], step,
+                table, opt_state["item_table"],
+                dd, summed, step,
             )
         else:
-            # Small catalog: ONE scatter-add accumulates the embedding
-            # cotangent, the bias cotangent, and the touched-row counts.
+            # Small catalog: ONE scatter-add accumulates the row cotangents
+            # (embedding+bias fused) and the touched-row counts.
             scatter_idx = jnp.where(occ_valid, flat_idx, num_items)
             payload = jnp.concatenate(
                 [d_rows, jnp.ones((d_rows.shape[0], 1), d_rows.dtype)], axis=1
@@ -228,15 +239,10 @@ def make_train_step(
                     .add(payload, mode="drop")
                 )
             touched = d_aug[:, -1] > 0
-            new_emb, emb_state = opt_ops.dense_row_update(
+            new_table, table_state = opt_ops.dense_row_update(
                 kind, lr, l2,
-                params["item_embedding"], opt_state["item_embedding"],
-                d_aug[:, :-2], touched, step,
-            )
-            new_bias, bias_state = opt_ops.dense_row_update(
-                kind, lr, l2,
-                params["item_biases"], opt_state["item_biases"],
-                d_aug[:, -2], touched, step,
+                table, opt_state["item_table"],
+                d_aug[:, :-1], touched, step,
             )
 
         is_arr = lambda x: isinstance(x, jnp.ndarray)
@@ -252,15 +258,10 @@ def make_train_step(
             lambda upd: upd[1], tower_updates, is_leaf=lambda x: isinstance(x, tuple)
         )
 
-        new_params = {
-            "item_embedding": new_emb,
-            "item_biases": new_bias,
-            "tower": new_tower,
-        }
+        new_params = {"item_table": new_table, "tower": new_tower}
         new_opt_state = {
             "step": step + 1,
-            "item_embedding": emb_state,
-            "item_biases": bias_state,
+            "item_table": table_state,
             "tower": new_tower_state,
         }
         return new_params, new_opt_state, loss_sum

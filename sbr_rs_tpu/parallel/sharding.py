@@ -3,9 +3,9 @@
 Rule set (the TPU-native replacement for the reference's shared-memory
 ``HogwildParameter`` storage, ``src/models/lstm.rs:175-181``):
 
-* ``item_embedding`` / ``item_biases`` (and their optimizer-state leaves) —
-  row-sharded over the ``model`` mesh axis: each shard owns a contiguous
-  slab of the catalog. Lookups/scatter-updates become sharded
+* ``item_table`` (the fused embedding+bias table, and its optimizer-state
+  leaves) — row-sharded over the ``model`` mesh axis: each shard owns a
+  contiguous slab of the catalog. Lookups/scatter-updates become sharded
   gathers/scatters; XLA SPMD inserts the collectives.
 * tower parameters, ``alpha``, scalar step counts — replicated.
 * batches — sharded over the ``data`` axis.
@@ -19,7 +19,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, MODEL_AXIS
 
-_SHARDED_ROW_LEAVES = ("item_embedding", "item_biases")
+_SHARDED_ROW_LEAVES = ("item_table",)
 
 
 def _leaf_spec(path, leaf) -> P:

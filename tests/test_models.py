@@ -129,9 +129,9 @@ def test_predict_nonfinite_raises():
 
     inter = _toy_interactions().to_compressed()
     model = ewma.Hyperparameters(inter.num_items, 8).from_seed(0).build()
-    bad = np.asarray(model._params["item_biases"]).copy()
-    bad[0] = np.nan
-    model._params["item_biases"] = jnp.asarray(bad)
+    bad = np.asarray(model._params["item_table"]).copy()
+    bad[0, -1] = np.nan
+    model._params["item_table"] = jnp.asarray(bad)
     rep = model.user_representation([1, 2, 3])
     with pytest.raises(sbr.InvalidPredictionValue):
         model.predict(rep, [0, 1])

@@ -53,11 +53,10 @@ def test_param_sharding_specs():
     mesh = make_mesh(data=4, model=2)
     model = _hp(ewma.Hyperparameters, inter.num_items, mesh).build()
     specs = param_specs(model._params)
-    assert specs["item_embedding"] == jax.sharding.PartitionSpec("model", None)
-    assert specs["item_biases"] == jax.sharding.PartitionSpec("model")
+    assert specs["item_table"] == jax.sharding.PartitionSpec("model", None)
     assert specs["tower"]["alpha"] == jax.sharding.PartitionSpec()
     # placed sharding matches
-    sh = model._params["item_embedding"].sharding
+    sh = model._params["item_table"].sharding
     assert sh.spec == jax.sharding.PartitionSpec("model", None)
 
 

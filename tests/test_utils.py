@@ -1,0 +1,88 @@
+"""Utilities: fit history/metrics, logging, distributed helpers, protocol."""
+
+import numpy as np
+import pytest
+
+import sbr_rs_tpu as sbr
+from sbr_rs_tpu import data as D
+from sbr_rs_tpu.models import OnlineRankingModel, ewma
+from sbr_rs_tpu.parallel import distributed
+from sbr_rs_tpu.utils.metrics import FitHistory, Logger
+
+
+def _toy():
+    rng = np.random.default_rng(0)
+    users = np.repeat(np.arange(30), 10)
+    items = (np.tile(np.arange(10), 30) + rng.integers(0, 3, 300)) % 25
+    return D.Interactions.from_arrays(users, items, np.tile(np.arange(10), 30), 30, 25)
+
+
+def test_fit_history_populated():
+    model = ewma.Hyperparameters(25, 8).num_epochs(3).from_seed(0).build()
+    loss = model.fit(_toy().to_compressed())
+    h = model.history
+    assert h is not None
+    assert h.num_epochs == 3
+    assert h.epoch_losses.shape == (3,)
+    assert h.examples_per_epoch > 0
+    assert h.wall_s > 0
+    assert h.examples_per_sec > 0
+    # mean_loss reproduces the fit return value exactly
+    assert abs(h.mean_loss - loss) < 1e-12
+    assert "epochs" in h.summary()
+
+
+def test_logger_levels(capsys, monkeypatch):
+    monkeypatch.setenv("SBR_LOG", "info")
+    log = Logger("t")
+    log.info("hello")
+    log.debug("hidden")
+    err = capsys.readouterr().err
+    assert "hello" in err and "hidden" not in err
+
+
+def test_nonfinite_loss_raises():
+    import jax.numpy as jnp
+
+    model = ewma.Hyperparameters(25, 8).num_epochs(2).from_seed(0).build()
+    # Poison a parameter: the masked loss sum becomes NaN.
+    bad = np.asarray(model._params["item_table"]).copy()
+    bad[0, 0] = np.nan
+    model._params["item_table"] = jnp.asarray(bad)
+    with pytest.raises(sbr.errors.NonFiniteLoss):
+        model.fit(_toy().to_compressed())
+
+
+def test_distributed_single_process_noop():
+    distributed.initialize()  # no env/coordinator -> no-op
+    assert distributed.is_primary()
+
+
+def test_global_mesh_shapes():
+    mesh = distributed.global_mesh(model=2)
+    assert mesh.shape["model"] == 2
+    assert mesh.shape["data"] * 2 == 8
+    with pytest.raises(ValueError):
+        distributed.global_mesh(model=3)
+
+
+def test_online_ranking_model_protocol():
+    model = ewma.Hyperparameters(25, 8).num_epochs(1).from_seed(0).build()
+    model.fit(_toy().to_compressed())
+    assert isinstance(model, OnlineRankingModel)
+
+    class Popularity:
+        """Minimal protocol impl: rank by item id (nonsense but valid)."""
+
+        def user_representation(self, item_ids):
+            from sbr_rs_tpu.models import ImplicitUser
+
+            return ImplicitUser(user_embedding=np.zeros(1))
+
+        def predict(self, user, item_ids):
+            return -np.asarray(item_ids, dtype=np.float32)
+
+    pop = Popularity()
+    assert isinstance(pop, OnlineRankingModel)
+    mrr = sbr.evaluation.mrr_score(pop, _toy().to_compressed())
+    assert np.isfinite(mrr)
