@@ -33,6 +33,7 @@ from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = [
+    "Interaction",
     "Interactions",
     "CompressedInteractions",
     "CompressedInteractionsUser",
@@ -54,6 +55,20 @@ def _as_rng(rng: "np.random.Generator | int | None") -> np.random.Generator:
     if isinstance(rng, np.random.Generator):
         return rng
     return np.random.default_rng(rng)
+
+
+@dataclasses.dataclass(frozen=True)
+class Interaction:
+    """A single (user, item, timestamp) event (reference ``src/data.rs:16-51``)."""
+
+    user_id: int
+    item_id: int
+    timestamp: int
+
+    def weight(self) -> float:
+        """Interaction weight — hard-coded 1.0, implicit feedback
+        (reference ``src/data.rs:44-46``)."""
+        return 1.0
 
 
 class Interactions:
@@ -121,6 +136,18 @@ class Interactions:
 
     def is_empty(self) -> bool:
         return len(self) == 0
+
+    def __iter__(self) -> Iterator[Interaction]:
+        """Iterate single events (reference exposes ``&[Interaction]`` via
+        ``data()``, ``src/data.rs:174-180``). Columnar access is the fast
+        path; this is API-parity sugar."""
+        for u, i, t in zip(self.user_ids, self.item_ids, self.timestamps):
+            yield Interaction(int(u), int(i), int(t))
+
+    def __getitem__(self, idx: int) -> Interaction:
+        return Interaction(
+            int(self.user_ids[idx]), int(self.item_ids[idx]), int(self.timestamps[idx])
+        )
 
     @property
     def shape(self) -> Tuple[int, int]:

@@ -286,7 +286,14 @@ class ImplicitSequenceModel:
 
             data_spec = batch_sharding(mesh, 2)
 
-        def fit_fn(params, opt_state, key, inputs, targets, mask, starts):
+        optimizer = self.hyper._optimizer
+
+        def fit_fn(params, key, inputs, targets, mask, starts):
+            # Fresh optimizer state per fit (the reference rebuilds the
+            # optimizer each call, src/models/sequence_model.rs:90) —
+            # created INSIDE the program: zeros_like inherits the params'
+            # sharding and costs no host dispatches.
+            opt_state = init_opt_state(optimizer, params)
             key_steps, key_perm = jax.random.split(key)
 
             def batch_body(carry, batch_idx):
@@ -332,9 +339,9 @@ class ImplicitSequenceModel:
             (params, opt_state), epoch_losses = jax.lax.scan(
                 epoch_body, (params, opt_state), jnp.arange(num_epochs)
             )
-            return params, opt_state, epoch_losses
+            return params, epoch_losses
 
-        return jax.jit(fit_fn, donate_argnums=(0, 1))
+        return jax.jit(fit_fn, donate_argnums=(0,))
 
     # -- public API ----------------------------------------------------------
 
@@ -398,16 +405,10 @@ class ImplicitSequenceModel:
             self._epoch_fn_shape = shape_key
 
         params = self._params
-        opt_state = init_opt_state(hp._optimizer, params)
-        if hp._mesh is not None:
-            from ..parallel.sharding import shard_model_params
-
-            opt_state = shard_model_params(opt_state, hp._mesh)
-
         self._key, fit_key = jax.random.split(self._key)
         t0 = time.perf_counter()
-        params, _, epoch_losses = self._epoch_fn(
-            params, opt_state, fit_key, inputs, targets, mask, starts
+        params, epoch_losses = self._epoch_fn(
+            params, fit_key, inputs, targets, mask, starts
         )
         epoch_losses = np.asarray(epoch_losses)  # blocks until done
         wall_s = time.perf_counter() - t0

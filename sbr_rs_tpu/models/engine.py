@@ -162,14 +162,16 @@ def make_train_step(
             tower_sg = jax.lax.stop_gradient(params["tower"])
             in_emb0 = rows_ip_sg[:bt, :-1].reshape(b, t, -1)
             hidden0 = tower_apply(tower_sg, in_emb0, starts=starts)
-            pos_score0 = (
-                jnp.einsum("btd,btd->bt", hidden0, rows_ip_sg[bt:, :-1].reshape(b, t, -1))
-                + rows_ip_sg[bt:, -1].reshape(b, t)
-            )
+            # Score against FUSED rows: hidden augmented with a ones column
+            # dots the bias in for free, and the [*, D+1] gathered rows are
+            # used as-is — no embedding/bias column slicing (which would
+            # force a relayout copy of every gathered row).
+            haug0 = jnp.concatenate([hidden0, jnp.ones((b, t, 1), hidden0.dtype)], -1)
+            pos_score0 = jnp.einsum("bte,bte->bt", haug0, rows_ip_sg[bt:].reshape(b, t, -1))
             cand_rows = jax.lax.stop_gradient(gather(candidates))
-            cand_emb = cand_rows[:, :-1].reshape(b, t, k_cand, -1)
-            cand_bias = cand_rows[:, -1].reshape(b, t, k_cand)
-            cand_score = jnp.einsum("btd,btkd->btk", hidden0, cand_emb) + cand_bias
+            cand_score = jnp.einsum(
+                "bte,btke->btk", haug0, cand_rows.reshape(b, t, k_cand, -1)
+            )
             # Acceptance rule (src/models/sequence_model.rs:58-65): first
             # candidate with 1 - pos + neg > 0, else the last draw.
             viol = (1.0 - pos_score0[..., None] + cand_score) > 0.0
@@ -194,14 +196,11 @@ def make_train_step(
         def scored_loss(rows_ip, neg_rows, tower_params):
             d = rows_ip.shape[-1] - 1
             in_emb = rows_ip[:bt, :-1].reshape(b, t, d)
-            pos_emb = rows_ip[bt:, :-1].reshape(b, t, d)
-            pos_bias = rows_ip[bt:, -1].reshape(b, t)
-            neg_emb = neg_rows[:, :-1].reshape(b, t, d)
-            neg_bias = neg_rows[:, -1].reshape(b, t)
 
             hidden = tower_apply(tower_params, in_emb, starts=starts)  # [B, T, D]
-            pos_score = jnp.einsum("btd,btd->bt", hidden, pos_emb) + pos_bias
-            neg_score = jnp.einsum("btd,btd->bt", hidden, neg_emb) + neg_bias
+            haug = jnp.concatenate([hidden, jnp.ones((b, t, 1), hidden.dtype)], -1)
+            pos_score = jnp.einsum("bte,bte->bt", haug, rows_ip[bt:].reshape(b, t, d + 1))
+            neg_score = jnp.einsum("bte,bte->bt", haug, neg_rows.reshape(b, t, d + 1))
 
             losses = pairwise_loss(config.loss, pos_score, neg_score)
             return jnp.sum(losses * mask)

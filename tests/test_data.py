@@ -151,3 +151,13 @@ def test_shuffle_preserves_rows():
     inter.shuffle(np.random.default_rng(0))
     after = set(zip(inter.user_ids, inter.item_ids, inter.timestamps))
     assert before == after
+
+
+def test_interaction_event_api():
+    inter = D.Interactions.from_arrays(
+        np.array([1, 2]), np.array([3, 4]), np.array([5, 6])
+    )
+    events = list(inter)
+    assert events[0] == D.Interaction(1, 3, 5)
+    assert inter[1] == D.Interaction(2, 4, 6)
+    assert events[0].weight() == 1.0
