@@ -14,6 +14,7 @@ arbitrarily large (sharded) catalogs never materialize ``[U, I]`` at once.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -39,6 +40,7 @@ def _target_scores(table, reps, test_items, test_in_prefix):
     return jnp.where(test_in_prefix, _NEG_MIN, raw)
 
 
+@functools.lru_cache(maxsize=None)
 def _make_chunk_counter(chunk: int):
     @jax.jit
     def count_chunk(table_chunk, reps, prefix_local, targets, test_local, valid_cols):

@@ -40,8 +40,7 @@ import jax.numpy as jnp
 from ..models import Loss, Optimizer
 from ..ops import optimizers as opt_ops
 from ..ops.losses import pairwise_loss
-
-WARP_CANDIDATES = 5  # reference draws at most 5 (src/models/sequence_model.rs:58)
+from ..ops.sampling import WARP_CANDIDATES, warp_select
 
 
 @dataclasses.dataclass(frozen=True)
@@ -172,11 +171,7 @@ def make_train_step(
             cand_score = jnp.einsum(
                 "bte,btke->btk", haug0, cand_rows.reshape(b, t, k_cand, -1)
             )
-            # Acceptance rule (src/models/sequence_model.rs:58-65): first
-            # candidate with 1 - pos + neg > 0, else the last draw.
-            viol = (1.0 - pos_score0[..., None] + cand_score) > 0.0
-            first = jnp.argmax(viol, axis=-1)
-            sel = jnp.where(viol.any(axis=-1), first, k_cand - 1)
+            sel = warp_select(pos_score0, cand_score)
             negatives = jnp.take_along_axis(candidates, sel[..., None], axis=-1)[..., 0]
             # Values of the selected rows, re-exposed as a differentiable
             # argument (gradients attach to arguments, not provenance).
