@@ -15,7 +15,6 @@ arbitrarily large (sharded) catalogs never materialize ``[U, I]`` at once.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ batched, fully-jitted training loop:
 
 from __future__ import annotations
 
-import copy
 import time
 from typing import Dict, List, Optional, Sequence
 

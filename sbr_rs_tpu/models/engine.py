@@ -32,7 +32,7 @@ pre-update loss and the number of supervised timesteps ("examples",
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

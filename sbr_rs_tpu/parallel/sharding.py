@@ -14,7 +14,6 @@ Rule set (the TPU-native replacement for the reference's shared-memory
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, MODEL_AXIS

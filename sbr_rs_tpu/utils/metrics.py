@@ -19,7 +19,7 @@ import dataclasses
 import os
 import sys
 import time
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
