@@ -505,11 +505,33 @@ class ImplicitSequenceModel:
         reps = self._representations(histories)
         return [ImplicitUser(user_embedding=r) for r in reps]
 
-    def predict(self, user: ImplicitUser, item_ids: Sequence[int]) -> np.ndarray:
+    def recommend(
+        self,
+        item_ids: Sequence[int],
+        k: int = 10,
+        exclude_seen: bool = True,
+    ) -> List[int]:
+        """Top-``k`` next items for a history (serving sugar; no reference
+        counterpart — the reference leaves ranking to the caller). Scores
+        the full catalog from the history's representation; with
+        ``exclude_seen``, items already in the history are skipped (the
+        convention :func:`sbr_rs_tpu.evaluation.mrr_score` evaluates
+        under)."""
+        rep = self.user_representation(item_ids)
+        scores = np.array(self.predict(rep, np.arange(self.hyper._num_items)))
+        if exclude_seen and len(item_ids):
+            scores[np.asarray(list(item_ids), dtype=np.int64)] = -np.inf
+        k = min(k, len(scores))
+        top = np.argpartition(-scores, k - 1)[:k]
+        return top[np.argsort(-scores[top])].tolist()
+
+    def predict(self, user: ImplicitUser, item_ids: "Sequence[int] | None" = None) -> np.ndarray:
         """Score ``item_ids`` for the user: ``dot(user, emb) + bias``
-        (``src/models/lstm.rs:338-350``). Raises
-        :class:`InvalidPredictionValue` on non-finite scores
+        (``src/models/lstm.rs:338-350``); ``None`` scores the full catalog.
+        Raises :class:`InvalidPredictionValue` on non-finite scores
         (``src/models/sequence_model.rs:222-230``)."""
+        if item_ids is None:
+            item_ids = np.arange(self.hyper._num_items)
         if self._predict_fn is None:
 
             def predict_fn(params, rep, ids):

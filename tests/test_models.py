@@ -193,3 +193,28 @@ def test_seed_reproducibility():
         return m.fit(inter)
 
     assert run() == run()
+
+
+def test_recommend_top_k():
+    inter = _toy_interactions().to_compressed()
+    model = (
+        ewma.Hyperparameters(inter.num_items, 8)
+        .learning_rate(0.1)
+        .num_epochs(2)
+        .from_seed(0)
+        .build()
+    )
+    model.fit(inter)
+    history = [1, 2, 3]
+    recs = model.recommend(history, k=5)
+    assert len(recs) == 5
+    assert len(set(recs)) == 5
+    assert not set(recs) & set(history)  # seen items excluded
+    # Ordering matches full-catalog scores.
+    rep = model.user_representation(history)
+    scores = np.array(model.predict(rep))  # full catalog by default
+    scores[history] = -np.inf
+    assert recs == list(np.argsort(-scores)[:5])
+    # Including seen items is allowed.
+    recs_all = model.recommend(history, k=5, exclude_seen=False)
+    assert len(recs_all) == 5
