@@ -59,7 +59,7 @@ def bench_ml1m():
     return {"config": "ml1m_packed_coupled_lstm128", "examples_per_sec": round(eps), "wall_s": round(wall, 2)}
 
 
-def bench_items(num_items: int, name: str):
+def bench_items(num_items: int, name: str, dim: int = 256):
     import sbr_rs_tpu as sbr
     from sbr_rs_tpu.models import Loss, Optimizer, lstm
 
@@ -67,7 +67,7 @@ def bench_items(num_items: int, name: str):
     mat = data.to_compressed()
     model = (
         lstm.Hyperparameters(num_items, 64)
-        .embedding_dim(256)
+        .embedding_dim(dim)
         .learning_rate(0.1)
         .loss(Loss.WARP)
         .optimizer(Optimizer.ADAGRAD)
@@ -114,7 +114,14 @@ def bench_mesh():
 BENCHES = {
     "ml1m": bench_ml1m,
     "items2m": lambda: bench_items(2_000_000, "synthetic_2m_items_lstm256_warp"),
-    "items10m": lambda: bench_items(10_000_000, "synthetic_10m_items_lstm256_warp"),
+    # TPU lane padding: the fused [N, D+1] table rounds its row to a
+    # multiple of 128 lanes, so D ≡ 0 (mod 128) wastes a whole extra lane
+    # group (129 -> 256 = 2x HBM). At 10M rows that overflows one chip;
+    # D=127 packs the fused row into exactly 128 lanes (~10.4 GB with
+    # Adagrad state) and exercises the identical sparse path. D=256 belongs
+    # on a sharded table (>= 4 chips).
+    "items10m": lambda: bench_items(10_000_000, "synthetic_10m_items_lstm127_warp", dim=127),
+    "items10m_256": lambda: bench_items(10_000_000, "synthetic_10m_items_lstm256_warp", dim=256),
     "mesh": bench_mesh,
 }
 

@@ -68,10 +68,15 @@ def init_embedding_params(key: jax.Array, num_items: int, dim: int) -> Dict[str,
     column, zero-initialized (``src/models/lstm.rs:181``).
 
     Fusing bias into the table is the TPU-native layout: the hot path
-    gathers/scatters each item's embedding+bias as ONE row (the extra lane
-    is free — lanes pad to 128 anyway), and no per-step concatenation of a
-    catalog-sized buffer ever happens (at 10M+ items that concat would cost
-    more than the rest of the step combined).
+    gathers/scatters each item's embedding+bias as ONE row, and no per-step
+    concatenation of a catalog-sized buffer ever happens (at 10M+ items
+    that concat would cost more than the rest of the step combined).
+
+    Lane-padding caveat: XLA rounds the row to a multiple of 128 lanes, so
+    the bias column is free unless ``dim`` is itself a multiple of 128 —
+    then the fused row spills into a new lane group (e.g. 129 -> 256, 2x
+    HBM). For memory-bound catalogs pick ``dim`` with ``(dim+1) % 128 != 1``
+    (127/255 pack exactly).
     """
     emb = jax.random.normal(key, (num_items, dim), dtype=jnp.float32) * (1.0 / dim)
     return {"item_table": jnp.concatenate([emb, jnp.zeros((num_items, 1), jnp.float32)], axis=1)}
