@@ -59,7 +59,7 @@ def bench_ml1m():
     return {"config": "ml1m_packed_coupled_lstm128", "examples_per_sec": round(eps), "wall_s": round(wall, 2)}
 
 
-def bench_items(num_items: int, name: str, dim: int = 256):
+def bench_items(num_items: int, name: str, dim: int = 256, dtype: str = "float32"):
     import sbr_rs_tpu as sbr
     from sbr_rs_tpu.models import Loss, Optimizer, lstm
 
@@ -75,6 +75,7 @@ def bench_items(num_items: int, name: str, dim: int = 256):
         .batch_size(256)
         .packed(True)
         .sparse_updates(True)
+        .table_dtype(dtype)
         .from_seed(0)
         .build()
     )
@@ -122,6 +123,10 @@ BENCHES = {
     # on a sharded table (>= 4 chips).
     "items10m": lambda: bench_items(10_000_000, "synthetic_10m_items_lstm127_warp", dim=127),
     "items10m_256": lambda: bench_items(10_000_000, "synthetic_10m_items_lstm256_warp", dim=256),
+    # bf16 table+state halves HBM: 20M x 128-lane rows ≈ 10.2 GB on one chip.
+    "items20m_bf16": lambda: bench_items(
+        20_000_000, "synthetic_20m_items_lstm127_warp_bf16", dim=127, dtype="bfloat16"
+    ),
     "mesh": bench_mesh,
 }
 

@@ -60,6 +60,7 @@ class Hyperparameters:
         self._mesh: Optional[jax.sharding.Mesh] = None
         self._sparse_updates: Optional[bool] = None  # None = auto by table size
         self._packed = False
+        self._table_dtype = "float32"
 
     # -- fluent setters (names mirror the reference) -----------------------
 
@@ -125,6 +126,16 @@ class Hyperparameters:
         self._sparse_updates = enabled
         return self
 
+    def table_dtype(self, dtype: str) -> "Hyperparameters":
+        """Storage dtype of the item table and its optimizer state:
+        ``"float32"`` (default) or ``"bfloat16"`` (halves table HBM — for
+        VMEM-busting catalogs). All score/gradient math stays float32; only
+        storage and the final update application round to bf16, so expect a
+        small quality cost (the Adagrad accumulator also rounds). New
+        capability — the reference is f32-only."""
+        self._table_dtype = str(dtype)
+        return self
+
     def packed(self, enabled: bool) -> "Hyperparameters":
         """Pack several variable-length windows into each ``[T]`` row with
         recurrence resets at window starts (:func:`sbr_rs_tpu.data.
@@ -168,6 +179,7 @@ class Hyperparameters:
             "batch_size": self._batch_size,
             "seed": self._seed,
             "packed": self._packed,
+            "table_dtype": self._table_dtype,
         }
 
     @classmethod
@@ -184,6 +196,7 @@ class Hyperparameters:
         hp._batch_size = d["batch_size"]
         hp._seed = d["seed"]
         hp._packed = d.get("packed", False)
+        hp._table_dtype = d.get("table_dtype", "float32")
         return hp
 
 
@@ -202,7 +215,8 @@ class ImplicitSequenceModel:
         key = jax.random.PRNGKey(hyper._seed)
         k_emb, k_tower, self._key = jax.random.split(key, 3)
         params = init_embedding_params(
-            k_emb, hyper._num_items, hyper._item_embedding_dim
+            k_emb, hyper._num_items, hyper._item_embedding_dim,
+            dtype=hyper._table_dtype,
         )
         params["tower"] = self._init_tower(k_tower, hyper._item_embedding_dim)
         self._params = params

@@ -62,7 +62,9 @@ class EngineConfig:
     table_kernel: bool = False
 
 
-def init_embedding_params(key: jax.Array, num_items: int, dim: int) -> Dict[str, jnp.ndarray]:
+def init_embedding_params(
+    key: jax.Array, num_items: int, dim: int, dtype="float32"
+) -> Dict[str, jnp.ndarray]:
     """The fused item table: embedding columns ``[:, :dim]`` N(0, 1/dim)
     (reference ``src/models/lstm.rs:22-25``) plus the bias as the LAST
     column, zero-initialized (``src/models/lstm.rs:181``).
@@ -78,8 +80,14 @@ def init_embedding_params(key: jax.Array, num_items: int, dim: int) -> Dict[str,
     HBM). For memory-bound catalogs pick ``dim`` with ``(dim+1) % 128 != 1``
     (127/255 pack exactly).
     """
-    emb = jax.random.normal(key, (num_items, dim), dtype=jnp.float32) * (1.0 / dim)
-    return {"item_table": jnp.concatenate([emb, jnp.zeros((num_items, 1), jnp.float32)], axis=1)}
+    dtype = jnp.dtype(dtype)
+    # Generate in the storage dtype and append the zero bias column via pad
+    # (a [N, 1] zeros operand would round up to a full 128-lane group — at
+    # 20M rows that is ~10 GB of pure padding).
+    emb = jax.random.normal(key, (num_items, dim), dtype=dtype) * jnp.asarray(
+        1.0 / dim, dtype
+    )
+    return {"item_table": jnp.pad(emb, ((0, 0), (0, 1)))}
 
 
 def table_embeddings(params: Dict) -> jnp.ndarray:
@@ -141,11 +149,15 @@ def make_train_step(
         candidates = jax.random.randint(key, (b, t, k_cand), 0, num_items, dtype=jnp.int32)
 
         def gather(idx):
+            # Gathered rows are promoted to f32: all score/gradient math is
+            # full precision regardless of the table's storage dtype.
             if config.table_kernel:
                 from ..ops.pallas_table import gather_rows
 
-                return gather_rows(table, idx.reshape(-1))
-            return jnp.take(table, idx.reshape(-1), axis=0)
+                rows = gather_rows(table, idx.reshape(-1))
+            else:
+                rows = jnp.take(table, idx.reshape(-1), axis=0)
+            return rows.astype(jnp.float32)
 
         # Gather inputs+positives once; autodiff later differentiates with
         # respect to the gathered COPIES, so the backward pass costs

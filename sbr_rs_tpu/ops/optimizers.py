@@ -151,26 +151,28 @@ def dense_row_update(
     the whole table is cheaper to stream than a sort of the occurrences.
 
     ``grad``: dense cotangent (scatter-add of row grads, zeros elsewhere).
-    ``touched``: bool [num_rows].
+    ``touched``: bool [num_rows]. Math runs in f32; results are written back
+    in the table's/state's storage dtype (bf16 tables supported).
     """
+    dt, st = table.dtype, {k: v.dtype for k, v in state.items()}
     t_mask = touched if table.ndim == 1 else touched[:, None]
-    g = grad + l2 * table * t_mask
+    g = grad + l2 * table.astype(jnp.float32) * t_mask
     if kind == Optimizer.ADAGRAD:
-        acc = state["acc"] + g * g  # untouched rows add 0
-        new_table = table - lr * g / jnp.sqrt(acc + _ADAGRAD_EPS)
-        return new_table, {"acc": acc}
+        acc = state["acc"].astype(jnp.float32) + g * g  # untouched rows add 0
+        new_table = table - (lr * g / jnp.sqrt(acc + _ADAGRAD_EPS)).astype(dt)
+        return new_table, {"acc": acc.astype(st["acc"])}
     else:  # lazy Adam: moments of untouched rows are not decayed
-        m_new = _ADAM_B1 * state["m"] + (1.0 - _ADAM_B1) * g
-        v_new = _ADAM_B2 * state["v"] + (1.0 - _ADAM_B2) * (g * g)
-        m = jnp.where(t_mask, m_new, state["m"])
-        v = jnp.where(t_mask, v_new, state["v"])
+        m_new = _ADAM_B1 * state["m"].astype(jnp.float32) + (1.0 - _ADAM_B1) * g
+        v_new = _ADAM_B2 * state["v"].astype(jnp.float32) + (1.0 - _ADAM_B2) * (g * g)
+        m = jnp.where(t_mask, m_new, state["m"].astype(jnp.float32))
+        v = jnp.where(t_mask, v_new, state["v"].astype(jnp.float32))
         t = step.astype(jnp.float32) + 1.0
         m_hat = m / (1.0 - _ADAM_B1**t)
         v_hat = v / (1.0 - _ADAM_B2**t)
         new_table = table - jnp.where(
             t_mask, lr * m_hat / (jnp.sqrt(v_hat) + _ADAM_EPS), 0.0
-        )
-        return new_table, {"m": m, "v": v}
+        ).astype(dt)
+        return new_table, {"m": m.astype(st["m"]), "v": v.astype(st["v"])}
 
 
 # ---------------------------------------------------------------------------
@@ -203,31 +205,40 @@ def sparse_update(
         sg = summed_grads
         state2 = state
 
+    # Row math in f32; scatter deltas are cast to the storage dtype (bf16
+    # tables supported for HBM-bound catalogs).
+    dt = table2.dtype
     valid = dd.valid
-    vcol = valid[:, None].astype(table2.dtype)
-    w_rows = jnp.take(table2, dd.row_ids, axis=0, mode="clip")
+    vcol = valid[:, None].astype(jnp.float32)
+    w_rows = jnp.take(table2, dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
     g = sg + l2 * w_rows * vcol
 
     if kind == Optimizer.ADAGRAD:
-        acc_rows = jnp.take(state2["acc"], dd.row_ids, axis=0, mode="clip")
+        acc_rows = jnp.take(state2["acc"], dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
         acc_new = acc_rows + g * g
         upd = lr * g / jnp.sqrt(acc_new + _ADAGRAD_EPS)
-        new_table2 = table2.at[dd.row_ids].add(-upd * vcol, mode="drop")
-        new_acc = state2["acc"].at[dd.row_ids].add(g * g * vcol, mode="drop")
+        new_table2 = table2.at[dd.row_ids].add((-upd * vcol).astype(dt), mode="drop")
+        new_acc = state2["acc"].at[dd.row_ids].add(
+            (g * g * vcol).astype(state2["acc"].dtype), mode="drop"
+        )
         new_state2 = {"acc": new_acc}
     else:  # lazy Adam
-        m_rows = jnp.take(state2["m"], dd.row_ids, axis=0, mode="clip")
-        v_rows = jnp.take(state2["v"], dd.row_ids, axis=0, mode="clip")
+        m_rows = jnp.take(state2["m"], dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
+        v_rows = jnp.take(state2["v"], dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
         m_new = _ADAM_B1 * m_rows + (1.0 - _ADAM_B1) * g
         v_new = _ADAM_B2 * v_rows + (1.0 - _ADAM_B2) * (g * g)
         t = step.astype(jnp.float32) + 1.0
         m_hat = m_new / (1.0 - _ADAM_B1**t)
         v_hat = v_new / (1.0 - _ADAM_B2**t)
         upd = lr * m_hat / (jnp.sqrt(v_hat) + _ADAM_EPS)
-        new_table2 = table2.at[dd.row_ids].add(-upd * vcol, mode="drop")
+        new_table2 = table2.at[dd.row_ids].add((-upd * vcol).astype(dt), mode="drop")
         # Deduped rows are unique, so set == overwrite with the new moment.
-        new_m = state2["m"].at[dd.row_ids].add((m_new - m_rows) * vcol, mode="drop")
-        new_v = state2["v"].at[dd.row_ids].add((v_new - v_rows) * vcol, mode="drop")
+        new_m = state2["m"].at[dd.row_ids].add(
+            ((m_new - m_rows) * vcol).astype(state2["m"].dtype), mode="drop"
+        )
+        new_v = state2["v"].at[dd.row_ids].add(
+            ((v_new - v_rows) * vcol).astype(state2["v"].dtype), mode="drop"
+        )
         new_state2 = {"m": new_m, "v": new_v}
 
     if was_1d:

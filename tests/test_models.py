@@ -218,3 +218,40 @@ def test_recommend_top_k():
     # Including seen items is allowed.
     recs_all = model.recommend(history, k=5, exclude_seen=False)
     assert len(recs_all) == 5
+
+
+def test_bfloat16_table_trains():
+    """bf16 item-table storage: fit runs, learns, serves finite scores."""
+    import jax.numpy as jnp
+
+    inter = _toy_interactions().to_compressed()
+    model = (
+        ewma.Hyperparameters(inter.num_items, 8)
+        .embedding_dim(16)
+        .learning_rate(0.1)
+        .loss(Loss.HINGE)
+        .optimizer(Optimizer.ADAGRAD)
+        .num_epochs(2)
+        .batch_size(16)
+        .table_dtype("bfloat16")
+        .from_seed(0)
+        .build()
+    )
+    assert model._params["item_table"].dtype == jnp.bfloat16
+    first = model.fit(inter)
+    later = model.fit(inter)
+    assert np.isfinite(first) and np.isfinite(later) and later < first
+    rep = model.user_representation([1, 2, 3])
+    scores = model.predict(rep, [0, 1, 2])
+    assert np.all(np.isfinite(scores))
+    # sparse path too
+    sparse = (
+        ewma.Hyperparameters(inter.num_items, 8)
+        .learning_rate(0.1)
+        .num_epochs(1)
+        .table_dtype("bfloat16")
+        .sparse_updates(True)
+        .from_seed(0)
+        .build()
+    )
+    assert np.isfinite(sparse.fit(inter))
