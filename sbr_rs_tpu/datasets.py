@@ -106,6 +106,32 @@ def download_movielens_100k(path: Optional[str] = None) -> Interactions:
     return _load_interactions_csv(cached)
 
 
+def load_goodbooks(path: str, max_interactions: int = 1_000_000) -> Interactions:
+    """Load the goodbooks-10k ratings CSV (``user_id,book_id,rating``).
+
+    Reference: ``examples/lstm_hyperopt.rs:30-40`` — the row's position in
+    the file is its timestamp (the CSV has no time column), rows are sorted
+    stably by user, and the first ``max_interactions`` are kept.
+    """
+    raw = np.loadtxt(path, delimiter=",", skiprows=1, dtype=np.int64, usecols=(0, 1))
+    timestamps = np.arange(len(raw), dtype=np.int64)
+    order = np.argsort(raw[:, 0], kind="stable")
+    user_ids = raw[order, 0][:max_interactions]
+    item_ids = raw[order, 1][:max_interactions]
+    timestamps = timestamps[order][:max_interactions]
+    return Interactions.from_arrays(user_ids, item_ids, timestamps)
+
+
+def dummy_interactions(num_users: int = 100, num_items: int = 50) -> Interactions:
+    """Deterministic fixture: every user interacts with items
+    ``1000..1000+num_items`` in order (reference
+    ``examples/lstm_hyperopt.rs:42-55``)."""
+    user_ids = np.repeat(np.arange(num_users, dtype=np.int64), num_items)
+    item_ids = np.tile(1000 + np.arange(num_items, dtype=np.int64), num_users)
+    timestamps = np.tile(np.arange(num_items, dtype=np.int64), num_users)
+    return Interactions.from_arrays(user_ids, item_ids, timestamps)
+
+
 def synthetic_interactions(
     num_users: int,
     num_items: int,

@@ -9,19 +9,24 @@ a whole ``[B, T]`` padded batch of windows is one XLA-compiled step:
 1. negative *candidates* are sampled uniformly on device for every
    (batch, timestep) position — K=5 for WARP, K=1 otherwise
    (``src/models/sequence_model.rs:47-68, 125-138``);
-2. all touched embedding/bias rows (inputs, positives, candidates) are
-   gathered once; the loss is differentiated with respect to the *gathered
-   rows*, never the full table — so gradient cost scales with the batch,
-   not the catalog;
-3. the tower scans over input embeddings; positive and candidate scores are
-   batched dots; WARP selects, per position, the first margin-violating
-   candidate under ``stop_gradient`` (else the last draw) — exactly the
-   reference's acceptance rule, vectorized;
+2. input+positive rows are gathered from the fused item table once; WARP
+   candidates are gathered, scored, and selected entirely under
+   ``stop_gradient`` (the reference's first-margin-violator rule,
+   :func:`sbr_rs_tpu.ops.sampling.warp_select`) so only the SELECTED
+   negative joins the differentiated row set — the backward/scatter path
+   touches 3*B*T rows, not (2+K)*B*T, and rejected draws get no gradient
+   or L2, exactly like the reference;
+3. the loss is differentiated with respect to the *gathered row copies*,
+   never the full table — gradient cost scales with the batch, not the
+   catalog; scores dot a bias-augmented hidden state against whole fused
+   rows (no per-row column slicing);
 4. the per-timestep pairwise loss is masked and summed (the reference's
    prefix-sum-of-losses trick is just a masked sum over valid timesteps,
    ``src/models/lstm.rs:322-328``);
-5. sparse Adagrad/Adam scatter-updates only the touched rows
-   (:mod:`sbr_rs_tpu.ops.optimizers`), dense updates handle tower params.
+5. the item table updates via one fused-row strategy
+   (:mod:`sbr_rs_tpu.ops.optimizers`): dense scatter-add + touched-row
+   update for small catalogs, sort/segment sparse updates for huge ones;
+   dense updates handle tower params.
 
 Loss accounting matches the reference: the engine accumulates the summed
 pre-update loss and the number of supervised timesteps ("examples",

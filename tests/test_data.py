@@ -161,3 +161,35 @@ def test_interaction_event_api():
     assert events[0] == D.Interaction(1, 3, 5)
     assert inter[1] == D.Interaction(2, 4, 6)
     assert events[0].weight() == 1.0
+
+
+def test_dataset_loaders():
+    from sbr_rs_tpu import datasets
+
+    dummy = datasets.dummy_interactions(10, 5)
+    assert len(dummy) == 50
+    assert dummy.num_items == 1005  # items are 1000..1004, shape is max+1
+    first_user = [e.item_id for e in list(dummy)[:5]]
+    assert first_user == [1000, 1001, 1002, 1003, 1004]
+
+    syn = datasets.synthetic_interactions(20, 100, 7, rng=0)
+    assert len(syn) == 140
+    assert syn.num_items == 100
+
+
+def test_goodbooks_loader(tmp_path):
+    from sbr_rs_tpu import datasets
+
+    p = tmp_path / "ratings.csv"
+    p.write_text(
+        "user_id,book_id,rating\n"
+        "2,10,5\n"
+        "1,20,4\n"
+        "2,30,3\n"
+        "1,40,5\n"
+    )
+    inter = datasets.load_goodbooks(str(p))
+    # sorted stably by user; timestamps are original row positions
+    assert [e.user_id for e in inter] == [1, 1, 2, 2]
+    assert [e.item_id for e in inter] == [20, 40, 10, 30]
+    assert [e.timestamp for e in inter] == [1, 3, 0, 2]
