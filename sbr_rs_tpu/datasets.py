@@ -113,13 +113,12 @@ def load_goodbooks(path: str, max_interactions: int = 1_000_000) -> Interactions
     the file is its timestamp (the CSV has no time column), rows are sorted
     stably by user, and the first ``max_interactions`` are kept.
     """
-    raw = np.loadtxt(path, delimiter=",", skiprows=1, dtype=np.int64, usecols=(0, 1))
+    raw = np.loadtxt(
+        path, delimiter=",", skiprows=1, dtype=np.int64, usecols=(0, 1), ndmin=2
+    )
     timestamps = np.arange(len(raw), dtype=np.int64)
-    order = np.argsort(raw[:, 0], kind="stable")
-    user_ids = raw[order, 0][:max_interactions]
-    item_ids = raw[order, 1][:max_interactions]
-    timestamps = timestamps[order][:max_interactions]
-    return Interactions.from_arrays(user_ids, item_ids, timestamps)
+    order = np.argsort(raw[:, 0], kind="stable")[:max_interactions]
+    return Interactions.from_arrays(raw[order, 0], raw[order, 1], timestamps[order])
 
 
 def dummy_interactions(num_users: int = 100, num_items: int = 50) -> Interactions:
