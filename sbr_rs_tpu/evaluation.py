@@ -138,6 +138,16 @@ def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteraction
         targets = _target_scores(
             table, reps_j, jnp.asarray(test_items), jnp.asarray(test_in_prefix)
         )
+        # A NaN target (out-of-range test item — jnp.take fills OOB gathers
+        # with NaN — or a corrupted table) would compare False against every
+        # score and fake a perfect rank; surface it like the generic path
+        # does (reference raises on non-finite predictions,
+        # src/models/sequence_model.rs:225-229).
+        if np.isnan(np.asarray(targets)).any():
+            raise InvalidPredictionValue(
+                "Non-finite target scores during MRR evaluation (out-of-range "
+                "test items or non-finite parameters)."
+            )
 
         counts = jnp.zeros((u,), dtype=jnp.int32)
         self_hits = jnp.zeros((u,), dtype=jnp.int32)

@@ -200,6 +200,14 @@ class Hyperparameters:
         return hp
 
 
+# Module-level jit: compiled once per shape process-wide (per-instance jits
+# would recompile the scorer for every hyperopt trial).
+@jax.jit
+def _predict_rows(table, rep, ids):
+    rows = jnp.take(table, ids, axis=0)
+    return rows[:, :-1] @ rep + rows[:, -1]
+
+
 class ImplicitSequenceModel:
     """Base class implementing fit / user_representation / predict.
 
@@ -236,11 +244,17 @@ class ImplicitSequenceModel:
     def _init_tower(self, key: jax.Array, dim: int) -> Dict:
         raise NotImplementedError
 
-    def _tower_apply(self, tower_params: Dict, x: jnp.ndarray, starts=None) -> jnp.ndarray:
-        """Map input embeddings ``[B, T, D]`` to per-timestep user states.
+    def _tower_fn(self):
+        """Return a PURE callable ``(tower_params, x [B,T,D], starts=None)
+        -> hidden [B,T,D]`` that closes over configuration primitives only —
+        never over ``self`` (compiled programs cached across instances would
+        otherwise pin the first instance and read its config forever).
         ``starts [B, T]`` marks window boundaries in packed batches (reset
         the recurrent state there); None for one-window-per-row batches."""
         raise NotImplementedError
+
+    def _tower_apply(self, tower_params: Dict, x: jnp.ndarray, starts=None) -> jnp.ndarray:
+        return self._tower_fn()(tower_params, x, starts=starts)
 
     # -- engine wiring ------------------------------------------------------
 
@@ -268,7 +282,6 @@ class ImplicitSequenceModel:
             table_kernel = False  # pallas_call is opaque to the partitioner
         return EngineConfig(
             num_items=hp._num_items,
-            embedding_dim=hp._item_embedding_dim,
             loss=hp._loss,
             optimizer=hp._optimizer,
             learning_rate=hp._learning_rate,
@@ -291,7 +304,7 @@ class ImplicitSequenceModel:
         *sequence*, ``src/models/sequence_model.rs:111-169``). Epoch
         shuffles are generated on device (the reference shuffles
         subsequences per epoch, ``src/models/sequence_model.rs:109``)."""
-        train_step = make_train_step(self._engine_config(), self._tower_apply)
+        train_step = make_train_step(self._engine_config(), self._tower_fn())
         mesh = self.hyper._mesh
         n_pad = num_batches * batch_size
         if mesh is not None:
@@ -368,12 +381,23 @@ class ImplicitSequenceModel:
         rebuilt per ``fit``, ``src/models/sequence_model.rs:90``).
         """
         hp = self.hyper
+        # Cache key: object identity (the cache HOLDS the object, so its id
+        # cannot be recycled) plus a cheap content fingerprint guarding
+        # against in-place mutation of the arrays.
+        ids = interactions.item_ids
+        fingerprint = (
+            len(interactions),
+            interactions.num_users,
+            interactions.num_items,
+            int(ids[:64].sum()) if len(ids) else 0,
+            int(ids[-64:].sum()) if len(ids) else 0,
+        )
         cache_key = (
-            id(interactions), len(interactions), hp._max_sequence_length, hp._packed,
+            id(interactions), fingerprint, hp._max_sequence_length, hp._packed,
         )
         cached = getattr(self, "_window_cache", None)
         if cached is not None and cached[0] == cache_key:
-            inputs, targets, mask, starts, n, num_examples = cached[1]
+            inputs, targets, mask, starts, n, num_examples = cached[2]
         else:
             padded = extract_padded_windows(interactions, hp._max_sequence_length)
             if len(padded) == 0:
@@ -404,13 +428,22 @@ class ImplicitSequenceModel:
                 put = jnp.asarray
             inputs, targets, mask, starts = put(inputs), put(targets), put(mask), put(starts)
             self._window_cache = (
-                cache_key, (inputs, targets, mask, starts, n, num_examples)
+                cache_key,
+                interactions,  # keeps the id in cache_key valid
+                (inputs, targets, mask, starts, n, num_examples),
             )
 
         batch_size = min(hp._batch_size, n)
         num_batches = -(-n // batch_size)  # ceil — no dropped windows
 
-        shape_key = (batch_size, num_batches, hp._num_epochs, inputs.shape[0], hp._packed)
+        # The compiled program bakes in everything the engine closes over —
+        # shapes AND hyperparameters — so the cache key must cover both or a
+        # later fit() after tweaking e.g. the learning rate would silently
+        # reuse the stale program.
+        shape_key = (
+            batch_size, num_batches, hp._num_epochs, inputs.shape[0], hp._packed,
+            self._engine_config(), id(hp._mesh),
+        )
         if self._epoch_fn is None or self._epoch_fn_shape != shape_key:
             self._epoch_fn = self._build_fit_fn(
                 batch_size, num_batches, hp._num_epochs, n, hp._packed
@@ -420,9 +453,20 @@ class ImplicitSequenceModel:
         params = self._params
         self._key, fit_key = jax.random.split(self._key)
         t0 = time.perf_counter()
-        params, epoch_losses = self._epoch_fn(
-            params, fit_key, inputs, targets, mask, starts
-        )
+        try:
+            params, epoch_losses = self._epoch_fn(
+                params, fit_key, inputs, targets, mask, starts
+            )
+        except Exception as exc:
+            # params were donated to the (failed) program; depending on how
+            # far dispatch got, the old buffers may already be deleted.
+            # Surface that explicitly instead of a later cryptic
+            # "Array has been deleted".
+            raise FittingError(
+                "fit() failed after parameter donation; the model's "
+                "in-memory state may be unusable — restore from a "
+                f"checkpoint. Original error: {exc!r}"
+            ) from exc
         epoch_losses = np.asarray(epoch_losses)  # blocks until done
         wall_s = time.perf_counter() - t0
 
@@ -460,11 +504,14 @@ class ImplicitSequenceModel:
         cached = self._REP_FN_CACHE.get(key)
         if cached is not None:
             return cached
-        tower_apply = type(self)._tower_apply
+        # Close over the pure tower fn (config primitives only) — NOT self:
+        # the cache outlives instances, and a pinned first instance would
+        # leak its params and serve ITS config to later same-key models.
+        tower_fn = self._tower_fn()
 
         def rep_fn(params, inputs, lengths):
             emb = jnp.take(params["item_table"][:, :-1], inputs, axis=0)  # [U, T, D]
-            hidden = tower_apply(self, params["tower"], emb)
+            hidden = tower_fn(params["tower"], emb)
             last = jnp.clip(lengths - 1, 0, inputs.shape[1] - 1)
             return jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]
 
@@ -546,16 +593,9 @@ class ImplicitSequenceModel:
         (``src/models/sequence_model.rs:222-230``)."""
         if item_ids is None:
             item_ids = np.arange(self.hyper._num_items)
-        if self._predict_fn is None:
-
-            def predict_fn(params, rep, ids):
-                rows = jnp.take(params["item_table"], ids, axis=0)
-                return rows[:, :-1] @ rep + rows[:, -1]
-
-            self._predict_fn = jax.jit(predict_fn)
         ids = jnp.asarray(np.asarray(item_ids, dtype=np.int32))
         rep = jnp.asarray(np.asarray(user.user_embedding, dtype=np.float32))
-        scores = np.asarray(self._predict_fn(self._params, rep, ids))
+        scores = np.asarray(_predict_rows(self._params["item_table"], rep, ids))
         if not np.all(np.isfinite(scores)):
             raise InvalidPredictionValue()
         return scores

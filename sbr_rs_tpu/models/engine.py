@@ -51,7 +51,6 @@ from ..ops.sampling import WARP_CANDIDATES, warp_select
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     num_items: int
-    embedding_dim: int
     loss: Loss
     optimizer: Optimizer
     learning_rate: float

@@ -53,5 +53,5 @@ class ImplicitEWMAModel(base.ImplicitSequenceModel):
     def _init_tower(self, key: jax.Array, dim: int) -> Dict:
         return init_ewma(key, dim)
 
-    def _tower_apply(self, tower_params: Dict, x: jnp.ndarray, starts=None) -> jnp.ndarray:
-        return ewma_apply(tower_params, x, starts=starts)
+    def _tower_fn(self):
+        return ewma_apply

@@ -101,10 +101,12 @@ class ImplicitLSTMModel(base.ImplicitSequenceModel):
     def _init_tower(self, key: jax.Array, dim: int) -> Dict:
         return init_lstm(key, dim, coupled=self.hyper._lstm_variant == LSTMVariant.COUPLED)
 
-    def _tower_apply(self, tower_params: Dict, x: jnp.ndarray, starts=None) -> jnp.ndarray:
+    def _tower_fn(self):
+        import functools
+
         coupled = self.hyper._lstm_variant == LSTMVariant.COUPLED
         if self._pallas_enabled():
             from ..ops.pallas_lstm import lstm_apply_pallas
 
-            return lstm_apply_pallas(tower_params, x, coupled=coupled, starts=starts)
-        return lstm_apply(tower_params, x, coupled=coupled, starts=starts)
+            return functools.partial(lstm_apply_pallas, coupled=coupled)
+        return functools.partial(lstm_apply, coupled=coupled)

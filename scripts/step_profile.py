@@ -83,7 +83,7 @@ def main():
     ]
     for name, loss, sparse, tower in variants:
         cfg = EngineConfig(
-            num_items=items, embedding_dim=dim, loss=loss,
+            num_items=items, loss=loss,
             optimizer=Optimizer.ADAGRAD, learning_rate=0.1, l2_penalty=4e-4,
             sparse_updates=sparse,
         )

@@ -97,7 +97,7 @@ def test_one_step_matches_numpy_reference(loss, sparse):
     params["tower"] = {}
 
     cfg = EngineConfig(
-        num_items=n, embedding_dim=d, loss=loss, optimizer=Optimizer.ADAGRAD,
+        num_items=n, loss=loss, optimizer=Optimizer.ADAGRAD,
         learning_rate=lr, l2_penalty=l2, sparse_updates=sparse,
     )
     step_fn = make_train_step(cfg, _identity_tower)
