@@ -255,3 +255,51 @@ def test_bfloat16_table_trains():
         .build()
     )
     assert np.isfinite(sparse.fit(inter))
+
+
+def test_fit_cache_detects_new_dataset():
+    """fit() must not reuse cached windows when given a different dataset
+    (regression: cache was keyed on id() alone)."""
+    a = _toy_interactions(seed=0).to_compressed()
+    b = _toy_interactions(seed=9).to_compressed()  # same shape, other items
+    # A model that fit a then refits on b must extract b's windows: the
+    # result must match an identical model whose cache was forcibly cleared.
+    m2 = ewma.Hyperparameters(a.num_items, 8).num_epochs(1).from_seed(0).build()
+    m2.fit(a)
+    loss2 = m2.fit(b)
+    m3 = ewma.Hyperparameters(a.num_items, 8).num_epochs(1).from_seed(0).build()
+    m3.fit(a)
+    m3._window_cache = None  # force re-extraction
+    loss3 = m3.fit(b)
+    assert abs(loss2 - loss3) < 1e-6
+
+
+def test_fit_program_cache_respects_hyper_change():
+    """Changing a non-shape hyperparameter between fits must not reuse the
+    stale compiled program (regression)."""
+    inter = _toy_interactions().to_compressed()
+    m = (
+        ewma.Hyperparameters(inter.num_items, 8)
+        .learning_rate(0.1)
+        .num_epochs(1)
+        .from_seed(0)
+        .build()
+    )
+    m.fit(inter)
+    table_fast = m.item_embeddings.copy()
+    # Fresh model, tiny lr: trajectory must differ even though shapes match.
+    m2 = (
+        ewma.Hyperparameters(inter.num_items, 8)
+        .learning_rate(0.1)
+        .num_epochs(1)
+        .from_seed(0)
+        .build()
+    )
+    m2.hyper.learning_rate(1e-6)
+    m2.fit(inter)
+    assert not np.allclose(m2.item_embeddings, table_fast)
+    # and the same model refit after an lr change uses the new lr
+    m.hyper.learning_rate(1e-6)
+    before = m.item_embeddings.copy()
+    m.fit(inter)
+    assert np.allclose(m.item_embeddings, before, atol=1e-3)
