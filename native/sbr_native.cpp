@@ -142,7 +142,9 @@ SBR_EXPORT int64_t sbr_count_windows(int64_t num_users, const int64_t* user_poin
     if (len <= 0) continue;
     int64_t k = (len + T - 1) / T;     // windows for this user
     int64_t first = len - (k - 1) * T;  // first (smallest) window length
-    count += (k - 1) + (first >= min_len ? 1 : 0);
+    // Every chunk must individually pass the min_len filter (the fill pass
+    // rejects per chunk): the k-1 trailing chunks are exactly T long.
+    count += (T >= min_len ? k - 1 : 0) + (first >= min_len ? 1 : 0);
   }
   return count;
 }

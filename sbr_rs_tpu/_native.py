@@ -97,7 +97,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _load_attempted = True
     try:
         src = _SOURCE.read_bytes()
-        digest = hashlib.sha256(src).hexdigest()[:16]
+        # The cache key must cover the build environment, not just the
+        # source: -march=native binaries SIGILL when a shared $HOME moves to
+        # a CPU without the build machine's ISA extensions.
+        import platform
+
+        try:
+            gxx = subprocess.run(
+                ["g++", "--version"], capture_output=True, timeout=10
+            ).stdout
+        except Exception:
+            gxx = b""
+        fingerprint = src + platform.machine().encode() + platform.processor().encode() + gxx
+        digest = hashlib.sha256(fingerprint).hexdigest()[:16]
         so_path = _cache_dir() / f"sbr_native_{digest}.so"
         if not so_path.exists():
             _build(_SOURCE, so_path)

@@ -639,7 +639,11 @@ def pack_windows(padded: PaddedWindows, max_sequence_length: int) -> PaddedWindo
             starts=np.zeros((0, T), np.float32),
         )
     lengths = padded.lengths.astype(np.int64)  # supervised steps per window
+    # Windows with no supervised steps carry nothing to pack (a raw window
+    # of length <= 1 pads to zero supervised steps); placing one would
+    # write a start marker at a full bin's edge.
     order = np.argsort(-lengths, kind="stable")
+    order = order[lengths[order] >= 1]
 
     # First-fit decreasing over bins with capacity T. After descending sort,
     # scanning bins newest-to-oldest finds a fit quickly (older bins are
@@ -668,7 +672,7 @@ def pack_windows(padded: PaddedWindows, max_sequence_length: int) -> PaddedWindo
     mask = np.zeros((m, T), dtype=np.float32)
     starts = np.zeros((m, T), dtype=np.float32)
     out_lengths = np.zeros((m,), dtype=np.int32)
-    for w in range(n):
+    for w in order:
         L = int(lengths[w])
         b, off = int(bin_of[w]), int(offset_of[w])
         inputs[b, off : off + L] = padded.inputs[w, :L]

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import CompressedInteractions, extract_padded_windows, pack_windows
-from ..errors import InvalidPredictionValue, NoInteractions, NonFiniteLoss
+from ..errors import FittingError, InvalidPredictionValue, NoInteractions, NonFiniteLoss
 from ..utils.metrics import FitHistory, logger
 from . import ImplicitUser, Loss, Optimizer, Parallelism
 from .engine import EngineConfig, init_embedding_params, init_opt_state, make_train_step
@@ -219,7 +219,6 @@ class ImplicitSequenceModel:
 
     def __init__(self, hyper: Hyperparameters):
         self.hyper = hyper
-        self._np_rng = np.random.default_rng(hyper._seed)
         key = jax.random.PRNGKey(hyper._seed)
         k_emb, k_tower, self._key = jax.random.split(key, 3)
         params = init_embedding_params(
@@ -510,7 +509,10 @@ class ImplicitSequenceModel:
         tower_fn = self._tower_fn()
 
         def rep_fn(params, inputs, lengths):
-            emb = jnp.take(params["item_table"][:, :-1], inputs, axis=0)  # [U, T, D]
+            # f32 serving math regardless of the table's storage dtype.
+            emb = jnp.take(params["item_table"][:, :-1], inputs, axis=0).astype(
+                jnp.float32
+            )  # [U, T, D]
             hidden = tower_fn(params["tower"], emb)
             last = jnp.clip(lengths - 1, 0, inputs.shape[1] - 1)
             return jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]

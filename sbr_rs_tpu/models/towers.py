@@ -100,9 +100,11 @@ def lstm_apply(
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
         return (h_new, c_new), h_new
 
+    # Carries in f32: the cell computes in f32 (xz promotes) regardless of
+    # the input's storage dtype (e.g. bf16 item tables).
     init = (
-        jnp.zeros((b_, d), dtype=x.dtype),
-        jnp.zeros((b_, d), dtype=x.dtype),
+        jnp.zeros((b_, d), dtype=jnp.float32),
+        jnp.zeros((b_, d), dtype=jnp.float32),
     )
     xs = xz if starts is None else (xz, keep)
     _, hidden = jax.lax.scan(cell, init, xs)
@@ -154,6 +156,11 @@ def ewma_apply(
         keep = (1.0 - starts)[..., None]  # [B, T, 1]
         coeff = a * keep
         shift = jnp.where(keep > 0, (1.0 - a) * x, x)
+        # Row position 0 always begins a window (there is nothing to carry
+        # from), whether or not the caller marked it — same convention as
+        # the LSTM's zero-initialized carry.
+        coeff = coeff.at[:, 0, :].set(0.0)
+        shift = shift.at[:, 0, :].set(x[:, 0, :])
 
     def combine(left, right):
         a1, b1 = left

@@ -1,16 +1,21 @@
 """Model checkpointing.
 
 The reference's checkpoint story is serde/bincode serialization of the
-whole model — hyperparameters, parameter arrays, *and the RNG state*
+whole model — hyperparameters, parameter arrays, and the RNG state
 (``src/models/lstm.rs:38,204,386``; ``Cargo.toml:18``). The TPU-native
 equivalent saves a directory with:
 
-* ``config.json`` — hyperparameters (+ model type + host RNG state),
-* ``state.msgpack`` — the parameter pytree and the JAX PRNG key, via
-  flax's msgpack serialization.
+* ``state.msgpack`` — the parameter pytree and the JAX PRNG key (the only
+  RNG the training loop consumes — epoch shuffles and negative sampling
+  both run on device from it), via flax's msgpack serialization;
+* ``config.json`` — hyperparameters + model type, written LAST as the
+  commit marker: a crash mid-save leaves either the old checkpoint's
+  config (with the old state intact until the state replace) or a missing
+  marker, never a silently inconsistent pair that loads.
 
-Round-trips restore training exactly: host shuffles and device sampling
-resume from the saved RNG states.
+``load_model`` validates the restored table shape against the config so a
+mismatched pair fails loudly instead of producing a model whose parameters
+contradict its hyperparameters. Round-trips restore training exactly.
 """
 
 from __future__ import annotations
@@ -28,11 +33,6 @@ from flax import serialization
 def save_model(model, path: str) -> None:
     p = Path(path)
     p.mkdir(parents=True, exist_ok=True)
-    config = model.hyper.to_dict()
-    config["np_rng_state"] = model._np_rng.bit_generator.state
-    tmp_cfg = p / "config.json.tmp"
-    tmp_cfg.write_text(json.dumps(config, indent=2))
-    os.replace(tmp_cfg, p / "config.json")
 
     state = {
         "params": jax.tree_util.tree_map(np.asarray, model._params),
@@ -43,13 +43,19 @@ def save_model(model, path: str) -> None:
     tmp_state.write_bytes(blob)
     os.replace(tmp_state, p / "state.msgpack")
 
+    # Config last: it is the checkpoint's commit marker.
+    config = model.hyper.to_dict()
+    tmp_cfg = p / "config.json.tmp"
+    tmp_cfg.write_text(json.dumps(config, indent=2))
+    os.replace(tmp_cfg, p / "config.json")
+
 
 def load_model(path: str):
     from ..models import ewma, lstm
 
     p = Path(path)
     config = json.loads((p / "config.json").read_text())
-    np_rng_state = config.pop("np_rng_state", None)
+    config.pop("np_rng_state", None)  # legacy field, no longer used
     model_type = config["model_type"]
     if model_type == "lstm":
         hyper = lstm.Hyperparameters.from_dict(config)
@@ -60,8 +66,16 @@ def load_model(path: str):
 
     model = hyper.build()
     state = serialization.msgpack_restore((p / "state.msgpack").read_bytes())
+
+    table = state["params"]["item_table"]
+    want = (config["num_items"], config["item_embedding_dim"] + 1)
+    if tuple(table.shape) != want:
+        raise ValueError(
+            f"Checkpoint state/config mismatch at {path}: item_table shape "
+            f"{tuple(table.shape)} but config expects {want} — the "
+            "checkpoint directory holds files from different saves."
+        )
+
     model._params = jax.tree_util.tree_map(jnp.asarray, state["params"])
     model._key = jnp.asarray(state["key"])
-    if np_rng_state is not None:
-        model._np_rng.bit_generator.state = np_rng_state
     return model

@@ -68,3 +68,12 @@ def test_csv_parse_matches_loadtxt_on_ml100k():
     np.testing.assert_array_equal(users, raw[:, 0])
     np.testing.assert_array_equal(items, raw[:, 1])
     np.testing.assert_array_equal(ts, raw[:, 2])
+
+
+def test_native_windows_when_t_below_min_len():
+    """T < min_length must yield ZERO windows on both backends (regression:
+    the native count pass admitted full-T chunks the fill pass rejected)."""
+    inter = _random_interactions(n=50, num_users=5, num_items=10).to_compressed()
+    got = _native.extract_padded_windows(inter.user_pointers, inter.item_ids, 2, 3)
+    want = D._extract_padded_windows_numpy(inter, 2, 3)
+    assert got[0].shape[0] == len(want) == 0

@@ -129,3 +129,29 @@ def test_pallas_packed_matches_scan():
         got_g = jax.grad(loss_pallas)(params)
     for g, w in zip(jax.tree_util.tree_leaves(got_g), jax.tree_util.tree_leaves(want_g)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
+
+
+def test_pack_skips_zero_length_windows():
+    """Windows with zero supervised steps must not be packed (regression:
+    a start marker was written past a full bin's edge)."""
+    T = 4
+    padded = D.pad_windows([np.array([1, 2, 3, 4, 5]), np.array([7])], T)
+    assert list(padded.lengths) == [4, 0]
+    packed = D.pack_windows(padded, T)
+    assert packed.num_examples == 4
+    assert float(packed.starts.sum()) == 1.0  # only the real window starts
+
+
+def test_ewma_zero_starts_matches_none():
+    """All-zero starts must behave like starts=None (window begins at t=0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sbr_rs_tpu.models.towers import ewma_apply, init_ewma
+
+    params = init_ewma(jax.random.PRNGKey(0), 8)
+    params["alpha"] = jnp.asarray(np.random.default_rng(0).normal(size=8), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 6, 8)), jnp.float32)
+    a = ewma_apply(params, x)
+    b = ewma_apply(params, x, starts=jnp.zeros((2, 6), jnp.float32))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

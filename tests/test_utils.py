@@ -86,3 +86,23 @@ def test_online_ranking_model_protocol():
     assert isinstance(pop, OnlineRankingModel)
     mrr = sbr.evaluation.mrr_score(pop, _toy().to_compressed())
     assert np.isfinite(mrr)
+
+
+def test_checkpoint_mismatch_detected(tmp_path):
+    """A config/state pair from different saves must fail loudly."""
+    import json
+    from pathlib import Path
+
+    from sbr_rs_tpu.models import ewma
+    from sbr_rs_tpu.utils.checkpoint import load_model
+
+    model = ewma.Hyperparameters(25, 8).embedding_dim(16).num_epochs(1).from_seed(0).build()
+    model.fit(_toy().to_compressed())
+    path = tmp_path / "ckpt"
+    model.save(str(path))
+    # Simulate a crash between the two writes: config from a DIFFERENT run.
+    cfg = json.loads((path / "config.json").read_text())
+    cfg["item_embedding_dim"] = 64
+    (path / "config.json").write_text(json.dumps(cfg))
+    with pytest.raises(ValueError, match="mismatch"):
+        load_model(str(path))
