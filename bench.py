@@ -24,7 +24,6 @@ def main() -> None:
     import jax
 
     import sbr_rs_tpu as sbr
-    from sbr_rs_tpu.data import extract_windows, pad_windows
 
     device = jax.devices()[0]
     print(f"bench device: {device}", file=sys.stderr)
@@ -40,9 +39,6 @@ def main() -> None:
     epochs = 10
     batch_size = int(os.environ.get("SBR_BENCH_BATCH", "512"))
     packed = os.environ.get("SBR_BENCH_PACKED", "1") not in ("0", "false", "off")
-
-    windows = extract_windows(train_mat, max_seq_len)
-    examples_per_epoch = pad_windows(windows, max_seq_len).num_examples
 
     def build():
         return (
@@ -66,6 +62,7 @@ def main() -> None:
     # Best-of-3 timing: the tunneled-TPU dispatch adds ±10% run-to-run noise.
     model = build()
     model.fit(train_mat)
+    examples_per_epoch = model.history.examples_per_epoch
 
     elapsed = float("inf")
     for _ in range(3):

@@ -51,7 +51,9 @@ def _load_interactions_csv(path: Path) -> Interactions:
     if _native.available():
         users, items, ts = _native.parse_interactions_csv(str(path))
         return Interactions.from_arrays(users, items, ts)
-    raw = np.loadtxt(path, delimiter=",", skiprows=1, dtype=np.int64, usecols=(0, 1, 3))
+    raw = np.loadtxt(
+        path, delimiter=",", skiprows=1, dtype=np.int64, usecols=(0, 1, 3), ndmin=2
+    )
     return Interactions.from_arrays(raw[:, 0], raw[:, 1], raw[:, 2])
 
 
@@ -95,7 +97,20 @@ def download_movielens_100k(path: Optional[str] = None) -> Interactions:
     for candidate in _LOCAL_FALLBACKS:
         p = Path(candidate)
         if p.exists():
-            return _load_interactions_csv(p)
+            # Populate the cache (temp + atomic rename, same as a download)
+            # so later calls take the cache path directly.
+            import shutil
+
+            fd, tmp = tempfile.mkstemp(dir=str(cached.parent))
+            os.close(fd)
+            try:
+                shutil.copyfile(p, tmp)
+                os.replace(tmp, cached)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
+            return _load_interactions_csv(cached)
 
     try:
         _download(ML_100K_URL, cached)
@@ -145,9 +160,17 @@ def synthetic_interactions(
     rng = np.random.default_rng(rng) if not isinstance(rng, np.random.Generator) else rng
     n = num_users * interactions_per_user
     user_ids = np.repeat(np.arange(num_users, dtype=np.int64), interactions_per_user)
-    # Long-tailed popularity: inverse-CDF of a truncated zipf-like law.
+    # Genuinely long-tailed popularity: inverse-CDF of a power law
+    # p(rank) ∝ rank^-s truncated to [1, num_items]. s == 1 degenerates to
+    # log-uniform (classic Zipf); hot rows dominate traffic either way.
     u = rng.random(n)
-    ranks = np.floor(num_items * u ** zipf_exponent).astype(np.int64)
-    item_ids = np.minimum(ranks, num_items - 1)
+    s = float(zipf_exponent)
+    if abs(s - 1.0) < 1e-9:
+        ranks = np.floor(num_items ** u).astype(np.int64)
+    else:
+        ranks = np.floor(
+            ((num_items ** (1.0 - s) - 1.0) * u + 1.0) ** (1.0 / (1.0 - s))
+        ).astype(np.int64)
+    item_ids = np.clip(ranks - 1, 0, num_items - 1)
     timestamps = np.tile(np.arange(interactions_per_user, dtype=np.int64), num_users)
     return Interactions(num_users, num_items, user_ids, item_ids, timestamps)

@@ -277,8 +277,14 @@ class ImplicitSequenceModel:
         # configs (scripts/gather_profile.py) — kept for experimentation.
         env = os.environ.get("SBR_PALLAS_TABLE")
         table_kernel = env is not None and env not in ("0", "false", "off")
-        if table_kernel and hp._mesh is not None:
-            table_kernel = False  # pallas_call is opaque to the partitioner
+        if table_kernel:
+            from ..ops.pallas_table import supported as table_kernel_supported
+
+            table_kernel = (
+                hp._mesh is None  # pallas_call is opaque to the partitioner
+                # the kernels hold the whole table in VMEM
+                and table_kernel_supported(hp._num_items, hp._item_embedding_dim + 1)
+            )
         return EngineConfig(
             num_items=hp._num_items,
             loss=hp._loss,

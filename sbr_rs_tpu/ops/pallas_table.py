@@ -59,7 +59,9 @@ def _gather_kernel(idx_ref, table_ref, out_ref):
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1) == idx
     ).astype(table_ref.dtype)
-    out_ref[:] = jnp.dot(onehot, table_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.dot(
+        onehot, table_ref[:], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
 
 
 @jax.jit
@@ -99,7 +101,9 @@ def _scatter_kernel(idx_ref, g_ref, out_ref):
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1) == idx
     ).astype(g_ref.dtype)
-    out_ref[:] += jnp.dot(onehot.T, g_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] += jnp.dot(
+        onehot.T, g_ref[:], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_rows",))

@@ -40,16 +40,13 @@ def initialize(
     coordinator or mismatched world size raises at startup rather than
     hanging in the first collective.
     """
+    if coordinator_address is None and os.environ.get("COORDINATOR_ADDRESS"):
+        coordinator_address = os.environ["COORDINATOR_ADDRESS"]
     if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    if (
-        coordinator_address is None
-        and num_processes is None
-        and process_id is None
-        and not os.environ.get("COORDINATOR_ADDRESS")
-    ):
+    if coordinator_address is None and num_processes is None and process_id is None:
         return  # single-process
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -55,10 +55,14 @@ class FitHistory:
         return float(self.epoch_losses.sum()) / (1.0 + self.total_examples)
 
     def summary(self) -> str:
+        losses = (
+            f"loss {float(self.epoch_losses[0]):.4g} -> {float(self.epoch_losses[-1]):.4g}"
+            if len(self.epoch_losses)
+            else "no epochs ran"
+        )
         return (
             f"fit: {self.num_epochs} epochs x {self.examples_per_epoch} examples "
-            f"in {self.wall_s:.2f}s ({self.examples_per_sec:,.0f} ex/s), "
-            f"loss {float(self.epoch_losses[0]):.4g} -> {float(self.epoch_losses[-1]):.4g}"
+            f"in {self.wall_s:.2f}s ({self.examples_per_sec:,.0f} ex/s), {losses}"
         )
 
 
