@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _examples_per_sec(model, mat, epochs):
+def _examples_per_sec(model, mat):
     model.fit(mat)  # warm-up + compile
     t0 = time.perf_counter()
     model.fit(mat)
@@ -41,7 +41,6 @@ def bench_ml1m():
 
     data = sbr.datasets.synthetic_interactions(6040, 3706, 165, rng=0)
     mat = data.to_compressed()
-    epochs = 1
     model = (
         lstm.Hyperparameters(data.num_items, 128)
         .embedding_dim(128)
@@ -49,13 +48,13 @@ def bench_ml1m():
         .loss(Loss.HINGE)
         .optimizer(Optimizer.ADAM)
         .lstm_variant(lstm.LSTMVariant.COUPLED)
-        .num_epochs(epochs)
+        .num_epochs(1)
         .batch_size(256)
         .packed(True)
         .from_seed(0)
         .build()
     )
-    eps, wall = _examples_per_sec(model, mat, epochs)
+    eps, wall = _examples_per_sec(model, mat)
     return {"config": "ml1m_packed_coupled_lstm128", "examples_per_sec": round(eps), "wall_s": round(wall, 2)}
 
 
@@ -79,13 +78,30 @@ def bench_items(num_items: int, name: str, dim: int = 256, dtype: str = "float32
         .from_seed(0)
         .build()
     )
-    eps, wall = _examples_per_sec(model, mat, 1)
+    eps, wall = _examples_per_sec(model, mat)
     return {"config": name, "examples_per_sec": round(eps), "wall_s": round(wall, 2)}
 
 
 def bench_mesh():
-    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    # The 8-device CPU env must be set BEFORE JAX initializes its backend —
+    # impossible when other benches ran first in this process — so the mesh
+    # bench re-executes itself in a clean subprocess.
+    import subprocess
+
+    if os.environ.get("SBR_MESH_BENCH_INNER") != "1":
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["SBR_MESH_BENCH_INNER"] = "1"
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "mesh"],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+        raise RuntimeError(f"mesh bench subprocess failed: {out.stderr[-500:]}")
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -108,7 +124,7 @@ def bench_mesh():
         .from_seed(0)
         .build()
     )
-    eps, wall = _examples_per_sec(model, mat, 1)
+    eps, wall = _examples_per_sec(model, mat)
     return {"config": "mesh4x2_sharded_table_cpu_virtual", "examples_per_sec": round(eps), "wall_s": round(wall, 2)}
 
 

@@ -40,6 +40,8 @@ def main() -> None:
     train, test = sbr.data.user_based_split(data, rng, 0.2)
     train_mat = train.to_compressed()
     test_mat = test.to_compressed()
+    # Mirrors the reference's startup line, which also prints the TOTAL
+    # (pre-split) interaction count (`examples/lstm_hyperopt.rs:93-98`).
     print(f"Train {train_mat.num_users} {train_mat.num_items} {len(data)}")
 
     out = Path(args.out)
@@ -50,14 +52,20 @@ def main() -> None:
         print(f"Running {json.dumps(hyper.to_dict(), indent=2)}")
 
         start = time.perf_counter()
-        model = hyper.build()
-        model.fit(train_mat)
-        result = {
-            "train_mrr": sbr.evaluation.mrr_score(model, train_mat),
-            "test_mrr": sbr.evaluation.mrr_score(model, test_mat),
-            "elapsed_s": time.perf_counter() - start,
-            "hyperparameters": hyper.to_dict(),
-        }
+        try:
+            model = hyper.build()
+            model.fit(train_mat)
+            result = {
+                "train_mrr": sbr.evaluation.mrr_score(model, train_mat),
+                "test_mrr": sbr.evaluation.mrr_score(model, test_mat),
+                "elapsed_s": time.perf_counter() - start,
+                "hyperparameters": hyper.to_dict(),
+            }
+        except sbr.errors.SbrError as exc:
+            # Random-search corners diverge (lr up to ~3.2): record and move
+            # on rather than aborting a 1000-trial run.
+            print(f"Trial failed ({exc!r}); continuing")
+            continue
         print(json.dumps(result, indent=2))
 
         if not np.isnan(result["test_mrr"]):

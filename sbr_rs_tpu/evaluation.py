@@ -42,7 +42,10 @@ def _target_scores(table, reps, test_items, test_in_prefix):
 @functools.lru_cache(maxsize=None)
 def _make_chunk_counter(chunk: int):
     @jax.jit
-    def count_chunk(table_chunk, reps, prefix_local, targets, test_local, valid_cols):
+    def count_chunk(table_p, lo, reps, prefix_local, targets, test_local, valid_cols):
+        # Slice INSIDE the compiled program — an eager slice would copy the
+        # chunk out of the (potentially huge) table per user batch.
+        table_chunk = jax.lax.dynamic_slice_in_dim(table_p, lo, chunk, axis=0)
         # scores for this slab of the catalog: [U, C]
         scores = reps @ table_chunk[:, :-1].T + table_chunk[:, -1]
         u = reps.shape[0]
@@ -138,12 +141,13 @@ def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteraction
         targets = _target_scores(
             table, reps_j, jnp.asarray(test_items), jnp.asarray(test_in_prefix)
         )
-        # A NaN target (out-of-range test item — jnp.take fills OOB gathers
-        # with NaN — or a corrupted table) would compare False against every
-        # score and fake a perfect rank; surface it like the generic path
-        # does (reference raises on non-finite predictions,
-        # src/models/sequence_model.rs:225-229).
-        if np.isnan(np.asarray(targets)).any():
+        # A non-finite target (out-of-range test item — jnp.take fills OOB
+        # gathers with NaN — or a corrupted/overflowed table) would fake a
+        # near-perfect rank; surface it like the generic path does
+        # (reference raises on non-finite predictions,
+        # src/models/sequence_model.rs:225-229). The legitimate masked
+        # value is float32-min — finite.
+        if not np.isfinite(np.asarray(targets)).all():
             raise InvalidPredictionValue(
                 "Non-finite target scores during MRR evaluation (out-of-range "
                 "test items or non-finite parameters)."
@@ -154,9 +158,8 @@ def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteraction
         test_j = jnp.asarray(test_items)
         for c in range(num_chunks):
             lo = c * item_chunk
-            table_c = jax.lax.dynamic_slice_in_dim(table_p, lo, item_chunk, axis=0)
             cnt, sh = count_chunk(
-                table_c, reps_j, prefix_j - lo, targets, test_j - lo,
+                table_p, lo, reps_j, prefix_j - lo, targets, test_j - lo,
                 min(item_chunk, num_items - lo),
             )
             counts = counts + cnt

@@ -26,10 +26,20 @@ BARS = {
     "ewma_warp": 0.14,
 }
 
+# Per-config tuned (batch, lr) — the single source of truth lives in
+# tests/test_integration_ml100k.py (CONFIGS); env vars override for sweeps.
+_TUNED = {
+    "lstm_hinge": (32, 0.16),
+    "lstm_warp": (32, 0.12),
+    "ewma_hinge": (16, 0.2),
+    "ewma_warp": (16, 0.2),
+}
+
 
 def run(name: str, train_mat, test_mat, num_items: int) -> float:
-    batch = int(os.environ.get("SBR_CHECK_BATCH", "64"))
-    lr = float(os.environ.get("SBR_CHECK_LR", "0.16"))
+    tuned_batch, tuned_lr = _TUNED[name]
+    batch = int(os.environ.get("SBR_CHECK_BATCH", tuned_batch))
+    lr = float(os.environ.get("SBR_CHECK_LR", tuned_lr))
     epochs = int(os.environ.get("SBR_CHECK_EPOCHS", "10"))
     family, loss_name = name.split("_")
     loss = Loss.WARP if loss_name == "warp" else Loss.HINGE
