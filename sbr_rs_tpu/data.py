@@ -638,6 +638,17 @@ def pack_windows(padded: PaddedWindows, max_sequence_length: int) -> PaddedWindo
             lengths=empty.lengths,
             starts=np.zeros((0, T), np.float32),
         )
+    from . import _native
+
+    if _native.available():
+        inputs, targets, mask, starts, out_lengths = _native.pack_windows(
+            padded.inputs, padded.targets, padded.lengths, T
+        )
+        return PaddedWindows(
+            inputs=inputs, targets=targets, mask=mask,
+            lengths=out_lengths, starts=starts,
+        )
+
     lengths = padded.lengths.astype(np.int64)  # supervised steps per window
     # Windows with no supervised steps carry nothing to pack (a raw window
     # of length <= 1 pads to zero supervised steps); placing one would

@@ -77,3 +77,37 @@ def test_native_windows_when_t_below_min_len():
     got = _native.extract_padded_windows(inter.user_pointers, inter.item_ids, 2, 3)
     want = D._extract_padded_windows_numpy(inter, 2, 3)
     assert got[0].shape[0] == len(want) == 0
+
+
+def test_native_packing_matches_numpy(monkeypatch):
+    """Native first-fit-decreasing packing must produce the identical plan
+    and arrays as the numpy implementation."""
+    for seed, T in ((0, 8), (1, 16), (2, 5)):
+        rng = np.random.default_rng(seed)
+        inter = D.Interactions.from_arrays(
+            rng.integers(0, 60, 4000),
+            rng.integers(0, 80, 4000),
+            rng.integers(0, 10_000, 4000),
+            60,
+            80,
+        ).to_compressed()
+        padded = D._extract_padded_windows_numpy(inter, T)
+        got = D.pack_windows(padded, T)  # native path (available() is True)
+
+        # Force numpy path for the reference result.
+        monkeypatch.setattr(_native, "available", lambda: False)
+        want = D.pack_windows(padded, T)
+        monkeypatch.undo()
+
+        np.testing.assert_array_equal(got.inputs, want.inputs)
+        np.testing.assert_array_equal(got.targets, want.targets)
+        np.testing.assert_array_equal(got.mask, want.mask)
+        np.testing.assert_array_equal(got.starts, want.starts)
+        np.testing.assert_array_equal(got.lengths, want.lengths)
+
+
+def test_native_packing_skips_zero_length():
+    padded = D.pad_windows([np.array([1, 2, 3, 4, 5]), np.array([7])], 4)
+    packed = D.pack_windows(padded, 4)  # native
+    assert packed.num_examples == 4
+    assert float(packed.starts.sum()) == 1.0
