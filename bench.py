@@ -37,7 +37,7 @@ def main() -> None:
 
     max_seq_len = 32
     epochs = 10
-    batch_size = int(os.environ.get("SBR_BENCH_BATCH", "512"))
+    batch_size = int(os.environ.get("SBR_BENCH_BATCH", "256"))
     packed = os.environ.get("SBR_BENCH_PACKED", "1") not in ("0", "false", "off")
 
     def build():
