@@ -180,6 +180,7 @@ class Hyperparameters:
             "seed": self._seed,
             "packed": self._packed,
             "table_dtype": self._table_dtype,
+            "sparse_updates": self._sparse_updates,
         }
 
     @classmethod
@@ -197,6 +198,7 @@ class Hyperparameters:
         hp._seed = d["seed"]
         hp._packed = d.get("packed", False)
         hp._table_dtype = d.get("table_dtype", "float32")
+        hp._sparse_updates = d.get("sparse_updates")
         return hp
 
 
@@ -229,9 +231,6 @@ class ImplicitSequenceModel:
         self._params = params
         self._epoch_fn = None
         self._epoch_fn_shape = None
-        self._rep_fn = None
-        self._rep_fn_shape = None
-        self._predict_fn = None
         self.history: Optional[FitHistory] = None
         if hyper._mesh is not None:
             from ..parallel.sharding import shard_model_params
@@ -394,8 +393,8 @@ class ImplicitSequenceModel:
             len(interactions),
             interactions.num_users,
             interactions.num_items,
+            int(ids.sum()) if len(ids) else 0,  # catches in-place edits
             int(ids[:64].sum()) if len(ids) else 0,
-            int(ids[-64:].sum()) if len(ids) else 0,
         )
         cache_key = (
             id(interactions), fingerprint, hp._max_sequence_length, hp._packed,
@@ -447,7 +446,7 @@ class ImplicitSequenceModel:
         # reuse the stale program.
         shape_key = (
             batch_size, num_batches, hp._num_epochs, inputs.shape[0], hp._packed,
-            self._engine_config(), id(hp._mesh),
+            self._engine_config(), id(hp._mesh), self._rep_fn_cache_key(),
         )
         if self._epoch_fn is None or self._epoch_fn_shape != shape_key:
             self._epoch_fn = self._build_fit_fn(
@@ -555,9 +554,15 @@ class ImplicitSequenceModel:
                 h = [0]
             inputs[i, : len(h)] = h
             lengths[i] = len(h)
-        if self._rep_fn is None:
-            self._rep_fn = self._build_rep_fn()
-        reps = self._rep_fn(self._params, jnp.asarray(inputs), jnp.asarray(lengths))
+        # OOB ids would clamp silently under jit (jnp.take), scoring the
+        # wrong item; fail like the reference does (index panic -> typed
+        # error here).
+        if u and (inputs.min() < 0 or inputs.max() >= self.hyper._num_items):
+            raise InvalidPredictionValue(
+                f"History contains item ids outside [0, {self.hyper._num_items})."
+            )
+        rep_fn = self._build_rep_fn()
+        reps = rep_fn(self._params, jnp.asarray(inputs), jnp.asarray(lengths))
         return np.asarray(reps)
 
     def user_representation(self, item_ids: Sequence[int]) -> ImplicitUser:
@@ -601,7 +606,12 @@ class ImplicitSequenceModel:
         (``src/models/sequence_model.rs:222-230``)."""
         if item_ids is None:
             item_ids = np.arange(self.hyper._num_items)
-        ids = jnp.asarray(np.asarray(item_ids, dtype=np.int32))
+        ids_np = np.asarray(item_ids, dtype=np.int32)
+        if len(ids_np) and (ids_np.min() < 0 or ids_np.max() >= self.hyper._num_items):
+            raise InvalidPredictionValue(
+                f"item_ids outside [0, {self.hyper._num_items})."
+            )
+        ids = jnp.asarray(ids_np)
         rep = jnp.asarray(np.asarray(user.user_embedding, dtype=np.float32))
         scores = np.asarray(_predict_rows(self._params["item_table"], rep, ids))
         if not np.all(np.isfinite(scores)):

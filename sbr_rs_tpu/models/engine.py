@@ -205,6 +205,13 @@ def make_train_step(
 
         mask_flat = mask.reshape(-1) > 0
         occ_valid = jnp.concatenate([mask_flat, mask_flat, mask_flat])
+        # Input occurrences touch only the embedding columns — the bias of a
+        # row touched only as an input gets no L2/state/step (the reference
+        # keeps biases as a separate parameter inputs never index,
+        # src/models/lstm.rs:272-291).
+        bias_occ = jnp.concatenate(
+            [jnp.zeros_like(mask_flat), mask_flat, mask_flat]
+        )
         flat_idx = jnp.concatenate(
             [inputs.reshape(-1), targets.reshape(-1), negatives.reshape(-1)]
         )
@@ -231,17 +238,32 @@ def make_train_step(
         if config.sparse_updates:
             dd = opt_ops.dedupe_rows(flat_idx, occ_valid, num_items)
             summed = opt_ops.segment_sum_grads(d_rows, dd)
+            bias_valid = (
+                jax.ops.segment_max(
+                    bias_occ[dd.order].astype(jnp.int32),
+                    dd.seg_id,
+                    num_segments=dd.order.shape[0],
+                )
+                > 0
+            )
             new_table, table_state = opt_ops.sparse_update(
                 kind, lr, l2,
                 table, opt_state["item_table"],
                 dd, summed, step,
+                bias_valid=bias_valid,
             )
         else:
             # Small catalog: ONE scatter-add accumulates the row cotangents
-            # (embedding+bias fused) and the touched-row counts.
+            # (embedding+bias fused) plus touched-row and bias-touched
+            # counts.
             scatter_idx = jnp.where(occ_valid, flat_idx, num_items)
             payload = jnp.concatenate(
-                [d_rows, jnp.ones((d_rows.shape[0], 1), d_rows.dtype)], axis=1
+                [
+                    d_rows,
+                    jnp.ones((d_rows.shape[0], 1), d_rows.dtype),
+                    bias_occ[:, None].astype(d_rows.dtype),
+                ],
+                axis=1,
             )
             if config.table_kernel:
                 from ..ops.pallas_table import scatter_add_rows
@@ -253,11 +275,13 @@ def make_train_step(
                     .at[scatter_idx]
                     .add(payload, mode="drop")
                 )
-            touched = d_aug[:, -1] > 0
+            touched = d_aug[:, -2] > 0
+            bias_touched = d_aug[:, -1] > 0
             new_table, table_state = opt_ops.dense_row_update(
                 kind, lr, l2,
                 table, opt_state["item_table"],
-                d_aug[:, :-1], touched, step,
+                d_aug[:, :-2], touched, step,
+                bias_touched=bias_touched,
             )
 
         is_arr = lambda x: isinstance(x, jnp.ndarray)

@@ -58,6 +58,7 @@ class Hyperparameters(base.Hyperparameters):
     def to_dict(self) -> dict:
         d = super().to_dict()
         d["lstm_variant"] = self._lstm_variant.value
+        d["use_pallas"] = self._use_pallas
         d["model_type"] = "lstm"
         return d
 
@@ -65,6 +66,7 @@ class Hyperparameters(base.Hyperparameters):
     def from_dict(cls, d: dict) -> "Hyperparameters":
         hp = cls._from_dict_common(d)
         hp._lstm_variant = LSTMVariant(d["lstm_variant"])
+        hp._use_pallas = d.get("use_pallas")
         return hp
 
     def build(self) -> "ImplicitLSTMModel":

@@ -144,6 +144,7 @@ def dense_row_update(
     grad: jnp.ndarray,
     touched: jnp.ndarray,
     step: jnp.ndarray,
+    bias_touched: "jnp.ndarray | None" = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Full-table update that preserves the sparse (touched-rows-only)
     semantics: L2 decay and Adam moment decay apply only to rows the batch
@@ -153,15 +154,35 @@ def dense_row_update(
     ``grad``: dense cotangent (scatter-add of row grads, zeros elsewhere).
     ``touched``: bool [num_rows]. Math runs in f32; results are written back
     in the table's/state's storage dtype (bf16 tables supported).
+
+    ``bias_touched`` (fused ``[N, D+1]`` tables only): rows whose LAST
+    column (the bias) received a gradient. The reference keeps biases as a
+    separate parameter that input-only occurrences never touch
+    (``src/models/lstm.rs:272-291`` — inputs index only the embedding
+    table), so the bias column of a row touched only as an input must see
+    no L2, no accumulator/moment update, and no step.
     """
     dt, st = table.dtype, {k: v.dtype for k, v in state.items()}
-    t_mask = touched if table.ndim == 1 else touched[:, None]
+    if table.ndim == 1:
+        t_mask = touched
+    elif bias_touched is not None:
+        # Per-column touch mask: embedding columns follow the row, the bias
+        # column follows bias_touched.
+        t_mask = jnp.concatenate(
+            [
+                jnp.broadcast_to(touched[:, None], (table.shape[0], table.shape[1] - 1)),
+                bias_touched[:, None],
+            ],
+            axis=1,
+        )
+    else:
+        t_mask = touched[:, None]
     g = grad + l2 * table.astype(jnp.float32) * t_mask
     if kind == Optimizer.ADAGRAD:
-        acc = state["acc"].astype(jnp.float32) + g * g  # untouched rows add 0
+        acc = state["acc"].astype(jnp.float32) + g * g  # untouched entries add 0
         new_table = table - (lr * g / jnp.sqrt(acc + _ADAGRAD_EPS)).astype(dt)
         return new_table, {"acc": acc.astype(st["acc"])}
-    else:  # lazy Adam: moments of untouched rows are not decayed
+    else:  # lazy Adam: moments of untouched entries are not decayed
         m_new = _ADAM_B1 * state["m"].astype(jnp.float32) + (1.0 - _ADAM_B1) * g
         v_new = _ADAM_B2 * state["v"].astype(jnp.float32) + (1.0 - _ADAM_B2) * (g * g)
         m = jnp.where(t_mask, m_new, state["m"].astype(jnp.float32))
@@ -189,11 +210,16 @@ def sparse_update(
     dd: DedupedRows,
     summed_grads: jnp.ndarray,
     step: jnp.ndarray,
+    bias_valid: "jnp.ndarray | None" = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Apply an optimizer step to the unique touched rows of ``table``.
 
     ``summed_grads``: per-unique-row gradient from :func:`segment_sum_grads`,
     shape ``[M, ...]`` matching ``table[row]`` trailing dims.
+
+    ``bias_valid`` (fused tables): per-unique-row bool — the row's LAST
+    (bias) column received a gradient. Rows valid but not bias-valid get no
+    L2/state/step on that column (see :func:`dense_row_update`).
     """
     was_1d = table.ndim == 1
     if was_1d:
@@ -211,15 +237,26 @@ def sparse_update(
     valid = dd.valid
     vcol = valid[:, None].astype(jnp.float32)
     w_rows = jnp.take(table2, dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
-    g = sg + l2 * w_rows * vcol
+    if bias_valid is None:
+        mcol = vcol
+    else:
+        # Column-wise validity: bias column only where the bias saw a grad.
+        mcol = jnp.concatenate(
+            [
+                jnp.broadcast_to(vcol, (vcol.shape[0], w_rows.shape[1] - 1)),
+                (valid & bias_valid)[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+    g = sg + l2 * w_rows * mcol
 
     if kind == Optimizer.ADAGRAD:
         acc_rows = jnp.take(state2["acc"], dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
         acc_new = acc_rows + g * g
         upd = lr * g / jnp.sqrt(acc_new + _ADAGRAD_EPS)
-        new_table2 = table2.at[dd.row_ids].add((-upd * vcol).astype(dt), mode="drop")
+        new_table2 = table2.at[dd.row_ids].add((-upd * mcol).astype(dt), mode="drop")
         new_acc = state2["acc"].at[dd.row_ids].add(
-            (g * g * vcol).astype(state2["acc"].dtype), mode="drop"
+            (g * g * mcol).astype(state2["acc"].dtype), mode="drop"
         )
         new_state2 = {"acc": new_acc}
     else:  # lazy Adam
@@ -231,13 +268,15 @@ def sparse_update(
         m_hat = m_new / (1.0 - _ADAM_B1**t)
         v_hat = v_new / (1.0 - _ADAM_B2**t)
         upd = lr * m_hat / (jnp.sqrt(v_hat) + _ADAM_EPS)
-        new_table2 = table2.at[dd.row_ids].add((-upd * vcol).astype(dt), mode="drop")
-        # Deduped rows are unique, so set == overwrite with the new moment.
+        new_table2 = table2.at[dd.row_ids].add((-upd * mcol).astype(dt), mode="drop")
+        # Deduped rows are unique, so set == overwrite with the new moment;
+        # entries outside the column mask keep their old moments (no decay),
+        # matching wyrm's untouched-parameter behavior.
         new_m = state2["m"].at[dd.row_ids].add(
-            ((m_new - m_rows) * vcol).astype(state2["m"].dtype), mode="drop"
+            ((m_new - m_rows) * mcol).astype(state2["m"].dtype), mode="drop"
         )
         new_v = state2["v"].at[dd.row_ids].add(
-            ((v_new - v_rows) * vcol).astype(state2["v"].dtype), mode="drop"
+            ((v_new - v_rows) * mcol).astype(state2["v"].dtype), mode="drop"
         )
         new_state2 = {"m": new_m, "v": new_v}
 

@@ -37,6 +37,10 @@ def _numpy_reference_step(table, inputs, targets, mask, candidates, loss, lr, l2
 
     grads = np.zeros_like(table)
     touched = np.zeros(n, dtype=bool)
+    # The reference stores biases separately; input occurrences index only
+    # the embedding table, so a row touched only as an input gets no L2 or
+    # Adagrad update on its bias.
+    bias_touched = np.zeros(n, dtype=bool)
     loss_sum = 0.0
 
     for i in range(b):
@@ -77,11 +81,15 @@ def _numpy_reference_step(table, inputs, targets, mask, candidates, loss, lr, l2
             grads[neg, d] += dneg
             grads[inputs[i, j], :d] += dpos * emb[pos] + dneg * emb[neg]
             touched[[inputs[i, j], pos, neg]] = True
+            bias_touched[[pos, neg]] = True
 
-    g = grads + l2 * table * touched[:, None]
+    col_touched = np.concatenate(
+        [np.repeat(touched[:, None], d, axis=1), bias_touched[:, None]], axis=1
+    )
+    g = grads + l2 * table * col_touched
     acc = g * g
     new_table = table - lr * g / np.sqrt(acc + ADAGRAD_EPS)
-    new_table = np.where(touched[:, None], new_table, table)
+    new_table = np.where(col_touched, new_table, table)
     return loss_sum, new_table
 
 

@@ -303,3 +303,18 @@ def test_fit_program_cache_respects_hyper_change():
     before = m.item_embeddings.copy()
     m.fit(inter)
     assert np.allclose(m.item_embeddings, before, atol=1e-3)
+
+
+def test_out_of_range_item_ids_raise():
+    """OOB ids must raise a typed error, not silently clamp (the reference
+    panics on out-of-bounds indexing)."""
+    inter = _toy_interactions().to_compressed()
+    model = ewma.Hyperparameters(inter.num_items, 8).num_epochs(1).from_seed(0).build()
+    model.fit(inter)
+    rep = model.user_representation([1, 2, 3])
+    with pytest.raises(sbr.PredictionError):
+        model.predict(rep, [inter.num_items + 5])
+    with pytest.raises(sbr.PredictionError):
+        model.user_representation([inter.num_items + 5])
+    with pytest.raises(sbr.PredictionError):
+        model.recommend([inter.num_items + 5], k=3)
