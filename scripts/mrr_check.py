@@ -30,7 +30,7 @@ BARS = {
 # tests/test_integration_ml100k.py (CONFIGS); env vars override for sweeps.
 _TUNED = {
     "lstm_hinge": (32, 0.16),
-    "lstm_warp": (32, 0.12),
+    "lstm_warp": (32, 0.13),
     "ewma_hinge": (16, 0.2),
     "ewma_warp": (16, 0.2),
 }

@@ -52,7 +52,7 @@ CONFIGS = {
     # src/models/lstm.rs:454-471 (threshold 0.081)
     "lstm_hinge": ("lstm", Loss.HINGE, 32, 0.16, 0.081),
     # src/models/lstm.rs:502-519 (threshold 0.10)
-    "lstm_warp": ("lstm", Loss.WARP, 32, 0.12, 0.10),
+    "lstm_warp": ("lstm", Loss.WARP, 32, 0.13, 0.10),
     # src/models/ewma.rs:467-483 (threshold 0.11)
     "ewma_hinge": ("ewma", Loss.HINGE, 16, 0.2, 0.11),
     # src/models/ewma.rs:490-506 (threshold 0.14)
