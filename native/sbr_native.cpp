@@ -192,10 +192,11 @@ SBR_EXPORT int64_t sbr_fill_windows(int64_t num_users, const int64_t* user_point
 // Window packing (first-fit decreasing)
 // ---------------------------------------------------------------------------
 
-// Plan the packing of windows (supervised lengths `lengths[n]`) into bins of
-// capacity T using first-fit decreasing with newest-bin-first probing (the
-// exact algorithm of sbr_rs_tpu.data.pack_windows). Zero-length windows are
-// skipped (bin_of = -1). Writes bin_of[n] and offset_of[n]; returns the
+// Plan the packing of items of `lengths[n]` slots into bins of capacity T
+// using first-fit decreasing with newest-bin-first probing (the exact
+// algorithm of sbr_rs_tpu.data._pack_plan_numpy; pack_streams calls it with
+// slot sizes = supervised steps + 1 and capacity T + 1). Items of size < 1
+// are skipped (bin_of = -1). Writes bin_of[n] and offset_of[n]; returns the
 // number of bins.
 SBR_EXPORT int64_t sbr_pack_plan(int64_t n, const int32_t* lengths, int64_t T,
                                  int64_t* bin_of, int64_t* offset_of) {
@@ -235,31 +236,10 @@ SBR_EXPORT int64_t sbr_pack_plan(int64_t n, const int32_t* lengths, int64_t T,
   return static_cast<int64_t>(bin_fill.size());
 }
 
-// Fill the packed [M, T] arrays from the padded [N, T] arrays following a
-// pack plan. Output buffers must be zero-initialized by the caller.
-SBR_EXPORT void sbr_pack_fill(int64_t n, int64_t T, const int32_t* in_inputs,
-                              const int32_t* in_targets, const int32_t* lengths,
-                              const int64_t* bin_of, const int64_t* offset_of,
-                              int32_t* out_inputs, int32_t* out_targets,
-                              float* out_mask, float* out_starts,
-                              int32_t* out_lengths) {
-  for (int64_t w = 0; w < n; ++w) {
-    int64_t b = bin_of[w];
-    if (b < 0) continue;
-    int64_t off = offset_of[w];
-    int64_t L = lengths[w];
-    std::memcpy(out_inputs + b * T + off, in_inputs + w * T, sizeof(int32_t) * L);
-    std::memcpy(out_targets + b * T + off, in_targets + w * T, sizeof(int32_t) * L);
-    for (int64_t t = 0; t < L; ++t) out_mask[b * T + off + t] = 1.0f;
-    out_starts[b * T + off] = 1.0f;
-    out_lengths[b] += static_cast<int32_t>(L);
-  }
-}
-
 // ---------------------------------------------------------------------------
 // Version / self-check
 // ---------------------------------------------------------------------------
 
-SBR_EXPORT int sbr_native_abi_version() { return 2; }
+SBR_EXPORT int sbr_native_abi_version() { return 3; }
 
 }  // extern "C"

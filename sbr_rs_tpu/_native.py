@@ -24,7 +24,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 _SOURCE = Path(__file__).resolve().parent.parent / "native" / "sbr_native.cpp"
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 _lib: "ctypes.CDLL | None" = None
 _load_attempted = False
@@ -87,12 +87,6 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
 
     lib.sbr_pack_plan.restype = c_i64
     lib.sbr_pack_plan.argtypes = [c_i64, p_i32, c_i64, p_i64, p_i64]
-
-    lib.sbr_pack_fill.restype = None
-    lib.sbr_pack_fill.argtypes = [
-        c_i64, c_i64, p_i32, p_i32, p_i32, p_i64, p_i64,
-        p_i32, p_i32, p_f32, p_f32, p_i32,
-    ]
     return lib
 
 
@@ -218,42 +212,22 @@ def extract_padded_windows(
     return inputs, targets, mask, lengths
 
 
-def pack_windows(
-    inputs: np.ndarray,
-    targets: np.ndarray,
-    lengths: np.ndarray,
-    max_sequence_length: int,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """First-fit-decreasing packing of padded windows into dense rows, same
-    plan/fill semantics as :func:`sbr_rs_tpu.data.pack_windows`.
-
-    Returns (inputs, targets, mask, starts, lengths) for the packed rows.
-    """
+def pack_plan(
+    sizes: np.ndarray, capacity: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """First-fit-decreasing bin plan over items of ``sizes`` into bins of
+    ``capacity`` slots — the exact algorithm of
+    :func:`sbr_rs_tpu.data._pack_plan_numpy` (items with size < 1 get
+    ``bin_of = -1``). Returns (bin_of, offset_of, num_bins)."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    n = len(lengths)
-    t = int(max_sequence_length)
-    inputs = np.ascontiguousarray(inputs, dtype=np.int32)
-    targets = np.ascontiguousarray(targets, dtype=np.int32)
-    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int32)
+    n = len(sizes)
     bin_of = np.empty(n, dtype=np.int64)
     offset_of = np.empty(n, dtype=np.int64)
     m = lib.sbr_pack_plan(
-        n, _ptr(lengths, ctypes.c_int32), t,
+        n, _ptr(sizes, ctypes.c_int32), int(capacity),
         _ptr(bin_of, ctypes.c_int64), _ptr(offset_of, ctypes.c_int64),
     )
-    out_inputs = np.zeros((m, t), dtype=np.int32)
-    out_targets = np.zeros((m, t), dtype=np.int32)
-    out_mask = np.zeros((m, t), dtype=np.float32)
-    out_starts = np.zeros((m, t), dtype=np.float32)
-    out_lengths = np.zeros((m,), dtype=np.int32)
-    lib.sbr_pack_fill(
-        n, t, _ptr(inputs, ctypes.c_int32), _ptr(targets, ctypes.c_int32),
-        _ptr(lengths, ctypes.c_int32), _ptr(bin_of, ctypes.c_int64),
-        _ptr(offset_of, ctypes.c_int64),
-        _ptr(out_inputs, ctypes.c_int32), _ptr(out_targets, ctypes.c_int32),
-        _ptr(out_mask, ctypes.c_float), _ptr(out_starts, ctypes.c_float),
-        _ptr(out_lengths, ctypes.c_int32),
-    )
-    return out_inputs, out_targets, out_mask, out_starts, out_lengths
+    return bin_of, offset_of, int(m)

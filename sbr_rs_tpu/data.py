@@ -42,10 +42,12 @@ __all__ = [
     "user_based_split",
     "siphash24",
     "PaddedWindows",
+    "StreamWindows",
     "extract_windows",
     "extract_padded_windows",
     "pad_windows",
-    "pack_windows",
+    "to_streams",
+    "pack_streams",
 ]
 
 _ID_DTYPE = np.int64
@@ -615,58 +617,153 @@ def _extract_padded_windows_numpy(
     )
 
 
-def pack_windows(padded: PaddedWindows, max_sequence_length: int) -> PaddedWindows:
-    """Pack variable-length windows into dense rows (first-fit decreasing).
+@dataclasses.dataclass
+class StreamWindows:
+    """The device batch layout: one item-id *stream* per row.
+
+    ``stream[n]`` holds window item ids back-to-back in ``T + 1`` slots;
+    position ``t < T`` is supervised iff ``mask[n, t] == 1``, in which case
+    input = ``stream[n, t]`` and target = ``stream[n, t + 1]`` (the
+    reference's next-item pairs, ``src/models/sequence_model.rs:111-158``).
+    This is the row-traffic-optimal layout on TPU: the training step gathers
+    ``B * (T + 1)`` table rows for inputs AND targets combined (a separate
+    inputs/targets pair layout gathers ``2 * B * T`` and scatters 50% more
+    row gradients — the measured hot cost of the step).
+
+    ``starts[n, t] == 1`` marks positions where a new window begins and the
+    recurrent towers must reset state (packed rows); ``None`` = one window
+    per row. ``lengths[n]`` counts supervised timesteps (the reference's
+    ``loss_idx + 1`` example accounting).
+    """
+
+    stream: np.ndarray  # [N, T + 1] int32
+    mask: np.ndarray  # [N, T] float32
+    lengths: np.ndarray  # [N] int32
+    starts: Optional[np.ndarray] = None  # [N, T] float32
+
+    def __len__(self) -> int:
+        return self.stream.shape[0]
+
+    @property
+    def num_examples(self) -> int:
+        """Total supervised timesteps (the reference's `examples` count)."""
+        return int(self.lengths.sum())
+
+
+def to_streams(padded: PaddedWindows) -> StreamWindows:
+    """One-window-per-row stream layout of padded windows.
+
+    Within one window ``inputs[t + 1] == targets[t]``, so the stream is just
+    the first input followed by the targets — no data movement beyond a
+    column concat.
+    """
+    n, T = padded.inputs.shape
+    first = padded.inputs[:, :1] if n else np.zeros((0, 1), np.int32)
+    stream = np.concatenate([first, padded.targets], axis=1).astype(np.int32)
+    return StreamWindows(
+        stream=stream, mask=padded.mask.astype(np.float32), lengths=padded.lengths
+    )
+
+
+def pack_streams(padded: PaddedWindows, max_sequence_length: int) -> StreamWindows:
+    """Pack variable-length windows into dense stream rows (first-fit
+    decreasing).
 
     The reference pads nothing (it feeds one sequence at a time); padded
     batches waste MXU work on masked timesteps (ML-100K at T=128 is ~35%
-    padding). Packing places several windows end-to-end in one ``[T]`` row;
-    ``starts[m, t] == 1`` marks positions where a new window begins, and the
-    sequence towers reset their recurrent state there, so packed training is
-    mathematically identical to padded training (same per-timestep losses,
-    same example count) at higher utilization. New capability with no
-    reference counterpart (SURVEY.md §7 "variable-length packing").
+    padding). Packing places several windows end-to-end in one stream row —
+    a window with ``s`` supervised steps occupies ``s + 1`` slots of the
+    ``T + 1`` capacity; ``starts`` marks window starts where the towers
+    reset, so packed training is mathematically identical to padded
+    training (same per-timestep losses, same example count) at higher
+    utilization. New capability with no reference counterpart (SURVEY.md §7
+    "variable-length packing").
     """
     T = max_sequence_length
     n = len(padded)
     if n == 0:
-        empty = padded
-        return PaddedWindows(
-            inputs=empty.inputs,
-            targets=empty.targets,
-            mask=empty.mask,
-            lengths=empty.lengths,
+        return StreamWindows(
+            stream=np.zeros((0, T + 1), np.int32),
+            mask=np.zeros((0, T), np.float32),
+            lengths=np.zeros((0,), np.int32),
             starts=np.zeros((0, T), np.float32),
-        )
-    from . import _native
-
-    if _native.available():
-        inputs, targets, mask, starts, out_lengths = _native.pack_windows(
-            padded.inputs, padded.targets, padded.lengths, T
-        )
-        return PaddedWindows(
-            inputs=inputs, targets=targets, mask=mask,
-            lengths=out_lengths, starts=starts,
         )
 
     lengths = padded.lengths.astype(np.int64)  # supervised steps per window
     # Windows with no supervised steps carry nothing to pack (a raw window
-    # of length <= 1 pads to zero supervised steps); placing one would
-    # write a start marker at a full bin's edge.
-    order = np.argsort(-lengths, kind="stable")
-    order = order[lengths[order] >= 1]
+    # of length <= 1 pads to zero supervised steps). Slot cost per window is
+    # lengths + 1 (the stream stores the final target too); bin capacity is
+    # T + 1 slots.
+    sizes = np.where(lengths >= 1, lengths + 1, 0).astype(np.int32)
 
-    # First-fit decreasing over bins with capacity T. After descending sort,
-    # scanning bins newest-to-oldest finds a fit quickly (older bins are
-    # fuller); total cost is near-linear in practice.
-    bin_of = np.empty(n, dtype=np.int64)
-    offset_of = np.empty(n, dtype=np.int64)
+    from . import _native
+
+    if _native.available():
+        bin_of, offset_of, m = _native.pack_plan(sizes, T + 1)
+    else:
+        bin_of, offset_of, m = _pack_plan_numpy(sizes, T + 1)
+
+    stream = np.zeros((m, T + 1), dtype=np.int32)
+    mask = np.zeros((m, T), dtype=np.float32)
+    starts = np.zeros((m, T), dtype=np.float32)
+    out_lengths = np.zeros((m,), dtype=np.int32)
+
+    w_idx = np.nonzero(bin_of >= 0)[0]
+    if len(w_idx):
+        sup = lengths[w_idx]  # supervised steps
+        rows = bin_of[w_idx]
+        offs = offset_of[w_idx]
+
+        # Stream slots: [inputs[w, 0], targets[w, 0 .. sup-1]].
+        slot_counts = sup + 1
+        w_rep = np.repeat(w_idx, slot_counts)
+        first_slot = np.concatenate([[0], np.cumsum(slot_counts)[:-1]])
+        pos = np.arange(int(slot_counts.sum())) - np.repeat(first_slot, slot_counts)
+        dest = np.repeat(rows, slot_counts) * (T + 1) + np.repeat(offs, slot_counts) + pos
+        vals = np.where(
+            pos == 0,
+            padded.inputs[w_rep, 0],
+            padded.targets[w_rep, np.maximum(pos - 1, 0)],
+        )
+        stream.reshape(-1)[dest] = vals
+
+        # Supervised positions: the first `sup` slots of each window.
+        m_rep = np.repeat(w_idx, sup)
+        first_m = np.concatenate([[0], np.cumsum(sup)[:-1]])
+        mpos = np.arange(int(sup.sum())) - np.repeat(first_m, sup)
+        mdest = np.repeat(rows, sup) * T + np.repeat(offs, sup) + mpos
+        mask.reshape(-1)[mdest] = 1.0
+
+        starts[rows, offs] = 1.0
+        np.add.at(out_lengths, rows, sup.astype(np.int32))
+
+    return StreamWindows(
+        stream=stream, mask=mask, lengths=out_lengths, starts=starts
+    )
+
+
+def _pack_plan_numpy(
+    sizes: np.ndarray, capacity: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """First-fit-decreasing bin plan (pure-Python fallback; the native
+    backend implements the identical algorithm, ``sbr_pack_plan``).
+
+    After descending sort, scanning bins newest-to-oldest finds a fit
+    quickly (older bins are fuller); total cost is near-linear in practice.
+    Items with size < 1 are skipped (``bin_of = -1``).
+    """
+    n = len(sizes)
+    order = np.argsort(-sizes.astype(np.int64), kind="stable")
+    bin_of = np.full(n, -1, dtype=np.int64)
+    offset_of = np.zeros(n, dtype=np.int64)
     bin_fill: List[int] = []
     for w in order:
-        L = int(lengths[w])
+        L = int(sizes[w])
+        if L < 1:
+            continue
         placed = False
         for b in range(len(bin_fill) - 1, -1, -1):
-            if bin_fill[b] + L <= T:
+            if bin_fill[b] + L <= capacity:
                 bin_of[w] = b
                 offset_of[w] = bin_fill[b]
                 bin_fill[b] += L
@@ -676,24 +773,7 @@ def pack_windows(padded: PaddedWindows, max_sequence_length: int) -> PaddedWindo
             bin_of[w] = len(bin_fill)
             offset_of[w] = 0
             bin_fill.append(L)
-
-    m = len(bin_fill)
-    inputs = np.zeros((m, T), dtype=np.int32)
-    targets = np.zeros((m, T), dtype=np.int32)
-    mask = np.zeros((m, T), dtype=np.float32)
-    starts = np.zeros((m, T), dtype=np.float32)
-    out_lengths = np.zeros((m,), dtype=np.int32)
-    for w in order:
-        L = int(lengths[w])
-        b, off = int(bin_of[w]), int(offset_of[w])
-        inputs[b, off : off + L] = padded.inputs[w, :L]
-        targets[b, off : off + L] = padded.targets[w, :L]
-        mask[b, off : off + L] = 1.0
-        starts[b, off] = 1.0
-        out_lengths[b] += L
-    return PaddedWindows(
-        inputs=inputs, targets=targets, mask=mask, lengths=out_lengths, starts=starts
-    )
+    return bin_of, offset_of, len(bin_fill)
 
 
 def pad_windows(windows: Sequence[np.ndarray], max_sequence_length: int) -> PaddedWindows:

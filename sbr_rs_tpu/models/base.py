@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import CompressedInteractions, extract_padded_windows, pack_windows
+from ..data import (
+    CompressedInteractions,
+    extract_padded_windows,
+    pack_streams,
+    to_streams,
+)
 from ..errors import FittingError, InvalidPredictionValue, NoInteractions, NonFiniteLoss
 from ..utils.metrics import FitHistory, logger
 from . import ImplicitUser, Loss, Optimizer, Parallelism
@@ -318,7 +323,7 @@ class ImplicitSequenceModel:
 
         optimizer = self.hyper._optimizer
 
-        def fit_fn(params, key, inputs, targets, mask, starts):
+        def fit_fn(params, key, stream, mask, starts):
             # Fresh optimizer state per fit (the reference rebuilds the
             # optimizer each call, src/models/sequence_model.rs:90) —
             # created INSIDE the program: zeros_like inherits the params'
@@ -332,8 +337,7 @@ class ImplicitSequenceModel:
                     perm, (batch_idx * batch_size,), (batch_size,)
                 )
                 batch = {
-                    "inputs": jnp.take(inputs, rows, axis=0),
-                    "targets": jnp.take(targets, rows, axis=0),
+                    "stream": jnp.take(stream, rows, axis=0),
                     "mask": jnp.take(mask, rows, axis=0),
                 }
                 if packed:
@@ -401,26 +405,27 @@ class ImplicitSequenceModel:
         )
         cached = getattr(self, "_window_cache", None)
         if cached is not None and cached[0] == cache_key:
-            inputs, targets, mask, starts, n, num_examples = cached[2]
+            stream, mask, starts, n, num_examples = cached[2]
         else:
             padded = extract_padded_windows(interactions, hp._max_sequence_length)
             if len(padded) == 0:
                 raise NoInteractions()
             if hp._packed:
-                padded = pack_windows(padded, hp._max_sequence_length)
-            n = len(padded)
-            num_examples = padded.num_examples
+                windows = pack_streams(padded, hp._max_sequence_length)
+            else:
+                windows = to_streams(padded)
+            n = len(windows)
+            num_examples = windows.num_examples
 
             # Data lives on device once; one zero-mask padding row at index n.
             def _with_sentinel(a):
                 return np.concatenate([a, np.zeros((1, a.shape[1]), a.dtype)])
 
-            inputs = _with_sentinel(padded.inputs)
-            targets = _with_sentinel(padded.targets)
-            mask = _with_sentinel(padded.mask)
+            stream = _with_sentinel(windows.stream)
+            mask = _with_sentinel(windows.mask)
             starts = (
-                _with_sentinel(padded.starts)
-                if padded.starts is not None
+                _with_sentinel(windows.starts)
+                if windows.starts is not None
                 else np.zeros((1, 1), np.float32)  # unused placeholder
             )
             if hp._mesh is not None:
@@ -430,11 +435,11 @@ class ImplicitSequenceModel:
                 put = lambda a: jax.device_put(jnp.asarray(a), repl)
             else:
                 put = jnp.asarray
-            inputs, targets, mask, starts = put(inputs), put(targets), put(mask), put(starts)
+            stream, mask, starts = put(stream), put(mask), put(starts)
             self._window_cache = (
                 cache_key,
                 interactions,  # keeps the id in cache_key valid
-                (inputs, targets, mask, starts, n, num_examples),
+                (stream, mask, starts, n, num_examples),
             )
 
         batch_size = min(hp._batch_size, n)
@@ -445,7 +450,7 @@ class ImplicitSequenceModel:
         # later fit() after tweaking e.g. the learning rate would silently
         # reuse the stale program.
         shape_key = (
-            batch_size, num_batches, hp._num_epochs, inputs.shape[0], hp._packed,
+            batch_size, num_batches, hp._num_epochs, stream.shape, hp._packed,
             self._engine_config(), id(hp._mesh), self._rep_fn_cache_key(),
         )
         if self._epoch_fn is None or self._epoch_fn_shape != shape_key:
@@ -459,7 +464,7 @@ class ImplicitSequenceModel:
         t0 = time.perf_counter()
         try:
             params, epoch_losses = self._epoch_fn(
-                params, fit_key, inputs, targets, mask, starts
+                params, fit_key, stream, mask, starts
             )
         except Exception as exc:
             # params were donated to the (failed) program; depending on how

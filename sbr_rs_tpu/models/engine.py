@@ -124,9 +124,11 @@ def make_train_step(
     ``tower_apply(tower_params, input_embeddings [B,T,D]) -> hidden [B,T,D]``.
 
     Returns ``train_step(params, opt_state, key, batch) ->
-    (params, opt_state, loss_sum)`` where ``batch`` has int32 ``inputs``,
-    ``targets`` ``[B, T]`` and float32 ``mask`` ``[B, T]``; ``loss_sum`` is
-    the masked pre-update loss sum (reference reads loss before stepping,
+    (params, opt_state, loss_sum)`` where ``batch`` has an int32 ``stream``
+    ``[B, T + 1]`` (:class:`sbr_rs_tpu.data.StreamWindows` layout: input at
+    position t is ``stream[:, t]``, its target is ``stream[:, t + 1]``) and
+    float32 ``mask`` ``[B, T]``; ``loss_sum`` is the masked pre-update loss
+    sum (reference reads loss before stepping,
     ``src/models/sequence_model.rs:156-161``).
     """
     is_warp = config.loss == Loss.WARP
@@ -137,11 +139,11 @@ def make_train_step(
     l2 = config.l2_penalty
 
     def train_step(params, opt_state, key, batch):
-        inputs = batch["inputs"]
-        targets = batch["targets"]
-        mask = batch["mask"]
+        stream = batch["stream"]  # [B, T + 1]
+        mask = batch["mask"]  # [B, T]
         starts = batch.get("starts")  # packed layout: window-reset positions
-        b, t = inputs.shape
+        b = stream.shape[0]
+        t = stream.shape[1] - 1
         bt = b * t
 
         # The fused table IS the parameter (embedding columns + bias column,
@@ -163,31 +165,41 @@ def make_train_step(
                 rows = jnp.take(table, idx.reshape(-1), axis=0)
             return rows.astype(jnp.float32)
 
-        # Gather inputs+positives once; autodiff later differentiates with
-        # respect to the gathered COPIES, so the backward pass costs
-        # O(batch) regardless of the catalog size.
-        rows_ip = gather(jnp.concatenate([inputs.reshape(-1), targets.reshape(-1)]))
+        # ONE gather serves inputs and positives: within the stream layout
+        # the target of position t IS the input of position t+1, so the
+        # B*(T+1) stream rows carry what a separate inputs/targets layout
+        # would gather as 2*B*T rows — and their gradients combine into one
+        # scattered row set instead of two (row traffic is the measured
+        # bottleneck of the step). Autodiff differentiates with respect to
+        # the gathered COPIES, so the backward pass costs O(batch)
+        # regardless of the catalog size.
+        rows_s = gather(stream)
+
+        def views(rows):
+            """(input embeddings [B,T,D], positive fused rows [B,T,D+1])."""
+            full = rows.reshape(b, t + 1, -1)
+            return full[:, :t, :-1], full[:, 1:, :]
 
         if is_warp:
             # WARP selection is a forward-only decision made from current
             # values (the reference samples with forward passes,
             # src/models/sequence_model.rs:125-135). Keeping the K
             # candidates OUT of the differentiated row set is the hot-path
-            # win: grads/scatters touch 3*B*T rows, not (2+K)*B*T — only the
-            # selected draw is a graph row, exactly like the reference
-            # (rejected draws get no gradient or L2,
+            # win: grads/scatters touch ~2*B*T rows, not (1+K)*B*T more —
+            # only the selected draw is a graph row, exactly like the
+            # reference (rejected draws get no gradient or L2,
             # src/models/sequence_model.rs:47-68). The selection tower pass
             # is gradient-free and cheap next to the row traffic.
-            rows_ip_sg = jax.lax.stop_gradient(rows_ip)
+            rows_sg = jax.lax.stop_gradient(rows_s)
             tower_sg = jax.lax.stop_gradient(params["tower"])
-            in_emb0 = rows_ip_sg[:bt, :-1].reshape(b, t, -1)
+            in_emb0, pos_rows0 = views(rows_sg)
             hidden0 = tower_apply(tower_sg, in_emb0, starts=starts)
             # Score against FUSED rows: hidden augmented with a ones column
             # dots the bias in for free, and the [*, D+1] gathered rows are
             # used as-is — no embedding/bias column slicing (which would
             # force a relayout copy of every gathered row).
             haug0 = jnp.concatenate([hidden0, jnp.ones((b, t, 1), hidden0.dtype)], -1)
-            pos_score0 = jnp.einsum("bte,bte->bt", haug0, rows_ip_sg[bt:].reshape(b, t, -1))
+            pos_score0 = jnp.einsum("bte,bte->bt", haug0, pos_rows0)
             cand_rows = jax.lax.stop_gradient(gather(candidates))
             cand_score = jnp.einsum(
                 "bte,btke->btk", haug0, cand_rows.reshape(b, t, k_cand, -1)
@@ -211,25 +223,27 @@ def make_train_step(
             neg_rows = gather(negatives)
 
         mask_flat = mask.reshape(-1) > 0
-        occ_valid = jnp.concatenate([mask_flat, mask_flat, mask_flat])
+        mask_b = mask > 0
+        zero_col = jnp.zeros((b, 1), bool)
+        # Stream-slot occurrence flags: slot p is an input occurrence iff
+        # position p is supervised, a target occurrence iff position p-1 is.
+        in_occ = jnp.concatenate([mask_b, zero_col], axis=1).reshape(-1)
+        tg_occ = jnp.concatenate([zero_col, mask_b], axis=1).reshape(-1)
+        occ_valid = jnp.concatenate([in_occ | tg_occ, mask_flat])
         # Input occurrences touch only the embedding columns — the bias of a
         # row touched only as an input gets no L2/state/step (the reference
         # keeps biases as a separate parameter inputs never index,
         # src/models/lstm.rs:272-291).
-        bias_occ = jnp.concatenate(
-            [jnp.zeros_like(mask_flat), mask_flat, mask_flat]
-        )
-        flat_idx = jnp.concatenate(
-            [inputs.reshape(-1), targets.reshape(-1), negatives.reshape(-1)]
-        )
+        bias_occ = jnp.concatenate([tg_occ, mask_flat])
+        flat_idx = jnp.concatenate([stream.reshape(-1), negatives.reshape(-1)])
 
-        def scored_loss(rows_ip, neg_rows, tower_params):
-            d = rows_ip.shape[-1] - 1
-            in_emb = rows_ip[:bt, :-1].reshape(b, t, d)
+        def scored_loss(rows_s, neg_rows, tower_params):
+            d = rows_s.shape[-1] - 1
+            in_emb, pos_rows = views(rows_s)
 
             hidden = tower_apply(tower_params, in_emb, starts=starts)  # [B, T, D]
             haug = jnp.concatenate([hidden, jnp.ones((b, t, 1), hidden.dtype)], -1)
-            pos_score = jnp.einsum("bte,bte->bt", haug, rows_ip[bt:].reshape(b, t, d + 1))
+            pos_score = jnp.einsum("bte,bte->bt", haug, pos_rows)
             neg_score = jnp.einsum("bte,bte->bt", haug, neg_rows.reshape(b, t, d + 1))
 
             losses = pairwise_loss(config.loss, pos_score, neg_score)
@@ -237,10 +251,10 @@ def make_train_step(
 
         step = opt_state["step"]
 
-        loss_sum, (d_ip, d_neg, d_tower) = jax.value_and_grad(
+        loss_sum, (d_s, d_neg, d_tower) = jax.value_and_grad(
             scored_loss, argnums=(0, 1, 2)
-        )(rows_ip, neg_rows, params["tower"])
-        d_rows = jnp.concatenate([d_ip, d_neg])
+        )(rows_s, neg_rows, params["tower"])
+        d_rows = jnp.concatenate([d_s, d_neg])
 
         if config.sparse_updates:
             dd = opt_ops.dedupe_rows(flat_idx, occ_valid, num_items)

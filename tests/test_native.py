@@ -80,8 +80,8 @@ def test_native_windows_when_t_below_min_len():
 
 
 def test_native_packing_matches_numpy(monkeypatch):
-    """Native first-fit-decreasing packing must produce the identical plan
-    and arrays as the numpy implementation."""
+    """Native first-fit-decreasing pack plan must produce the identical plan
+    and packed arrays as the numpy implementation."""
     for seed, T in ((0, 8), (1, 16), (2, 5)):
         rng = np.random.default_rng(seed)
         inter = D.Interactions.from_arrays(
@@ -92,22 +92,29 @@ def test_native_packing_matches_numpy(monkeypatch):
             80,
         ).to_compressed()
         padded = D._extract_padded_windows_numpy(inter, T)
-        got = D.pack_windows(padded, T)  # native path (available() is True)
+        got = D.pack_streams(padded, T)  # native plan (available() is True)
 
-        # Force numpy path for the reference result.
+        # Force the numpy plan for the reference result.
         monkeypatch.setattr(_native, "available", lambda: False)
-        want = D.pack_windows(padded, T)
+        want = D.pack_streams(padded, T)
         monkeypatch.undo()
 
-        np.testing.assert_array_equal(got.inputs, want.inputs)
-        np.testing.assert_array_equal(got.targets, want.targets)
+        np.testing.assert_array_equal(got.stream, want.stream)
         np.testing.assert_array_equal(got.mask, want.mask)
         np.testing.assert_array_equal(got.starts, want.starts)
         np.testing.assert_array_equal(got.lengths, want.lengths)
 
+        # And the raw plans agree bit-for-bit.
+        sizes = np.where(padded.lengths >= 1, padded.lengths + 1, 0).astype(np.int32)
+        nb, no, nm = _native.pack_plan(sizes, T + 1)
+        pb, po, pm = D._pack_plan_numpy(sizes, T + 1)
+        np.testing.assert_array_equal(nb, pb)
+        np.testing.assert_array_equal(no, po)
+        assert nm == pm
+
 
 def test_native_packing_skips_zero_length():
     padded = D.pad_windows([np.array([1, 2, 3, 4, 5]), np.array([7])], 4)
-    packed = D.pack_windows(padded, 4)  # native
+    packed = D.pack_streams(padded, 4)  # native plan
     assert packed.num_examples == 4
     assert float(packed.starts.sum()) == 1.0

@@ -27,7 +27,7 @@ def _padded(seed=0, n_users=40, n_items=60, T=16):
 
 def test_pack_preserves_contents_and_counts():
     padded, T = _padded()
-    packed = D.pack_windows(padded, T)
+    packed = D.pack_streams(padded, T)
     assert packed.num_examples == padded.num_examples
     assert len(packed) <= len(padded)
     assert packed.starts is not None
@@ -35,15 +35,34 @@ def test_pack_preserves_contents_and_counts():
     # mask is the union of the packed windows' supervised spans.
     assert packed.starts.sum() == float(len(padded))
     np.testing.assert_array_equal(packed.mask.sum(1), packed.lengths)
+
     # Every (input, target) supervised pair appears exactly as often as in
-    # the padded layout.
-    def pairs(w):
+    # the padded layout (stream layout: input = stream[t], target =
+    # stream[t+1] at supervised positions).
+    def stream_pairs(w):
+        m = w.mask > 0
+        return sorted(
+            zip(w.stream[:, :-1][m].tolist(), w.stream[:, 1:][m].tolist())
+        )
+
+    def padded_pairs(w):
         m = w.mask > 0
         return sorted(zip(w.inputs[m].tolist(), w.targets[m].tolist()))
 
-    assert pairs(packed) == pairs(padded)
-    # No row overflows T.
-    assert packed.inputs.shape[1] == T
+    assert stream_pairs(packed) == padded_pairs(padded)
+    # No row overflows the T+1 slot capacity.
+    assert packed.stream.shape[1] == T + 1
+    assert packed.mask.shape[1] == T
+
+
+def test_to_streams_matches_padded_pairs():
+    padded, T = _padded(seed=3)
+    sw = D.to_streams(padded)
+    assert sw.stream.shape == (len(padded), T + 1)
+    assert sw.num_examples == padded.num_examples
+    m = sw.mask > 0
+    np.testing.assert_array_equal(sw.stream[:, :-1][m], padded.inputs[padded.mask > 0])
+    np.testing.assert_array_equal(sw.stream[:, 1:][m], padded.targets[padded.mask > 0])
 
 
 @pytest.mark.parametrize("tower", ["ewma", "lstm_normal", "lstm_coupled"])
@@ -137,9 +156,11 @@ def test_pack_skips_zero_length_windows():
     T = 4
     padded = D.pad_windows([np.array([1, 2, 3, 4, 5]), np.array([7])], T)
     assert list(padded.lengths) == [4, 0]
-    packed = D.pack_windows(padded, T)
+    packed = D.pack_streams(padded, T)
     assert packed.num_examples == 4
     assert float(packed.starts.sum()) == 1.0  # only the real window starts
+    # The 5-item window fills the whole T+1 = 5 slot stream.
+    np.testing.assert_array_equal(packed.stream, [[1, 2, 3, 4, 5]])
 
 
 def test_ewma_zero_starts_matches_none():
