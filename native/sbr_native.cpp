@@ -104,6 +104,10 @@ SBR_EXPORT int64_t sbr_csv_parse(const char* path, int64_t* users, int64_t* item
     }
     if (p < end) ++p;  // consume '\n'
     if (!any_digit) continue;
+    // A data line must have all 4 comma-separated fields (3 commas). The
+    // numpy loadtxt fallback raises on short rows; silently zero-filling a
+    // missing timestamp here would diverge from it.
+    if (nf < 3) return -1;
     users[n] = fields[0];
     items[n] = fields[1];
     timestamps[n] = fields[3];  // rating (fields[2]) ignored

@@ -59,6 +59,35 @@ def _as_rng(rng: "np.random.Generator | int | None") -> np.random.Generator:
     return np.random.default_rng(rng)
 
 
+def _atomic_savez(path: str, kind: str, **payload) -> None:
+    """Write an ``.npz`` atomically (temp file + rename, the same pattern as
+    the dataset cache, reference ``src/datasets.rs:36-55``)."""
+    import os
+    import tempfile
+
+    directory = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".npz.tmp")
+    os.close(fd)
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, kind=np.str_(kind), **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def _load_npz(path: str, expect_kind: str) -> dict:
+    with np.load(path, allow_pickle=False) as z:
+        got = str(z["kind"])
+        if got != expect_kind:
+            raise ValueError(
+                f"{path} holds a {got!r} container, expected {expect_kind!r}"
+            )
+        return {k: z[k] for k in z.files if k != "kind"}
+
+
 @dataclasses.dataclass(frozen=True)
 class Interaction:
     """A single (user, item, timestamp) event (reference ``src/data.rs:16-51``)."""
@@ -196,6 +225,27 @@ class Interactions:
             self.user_ids.copy(),
             self.item_ids.copy(),
             self.timestamps.copy(),
+        )
+
+    # -- serialization (reference derives Serialize/Deserialize on all data
+    # containers, ``src/data.rs:91``; split datasets are persistable
+    # artifacts there) ------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist to ``.npz`` (atomic write)."""
+        _atomic_savez(
+            path, "interactions",
+            num_users=self.num_users, num_items=self.num_items,
+            user_ids=self.user_ids, item_ids=self.item_ids,
+            timestamps=self.timestamps,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Interactions":
+        z = _load_npz(path, "interactions")
+        return cls(
+            int(z["num_users"]), int(z["num_items"]),
+            z["user_ids"], z["item_ids"], z["timestamps"],
         )
 
 
@@ -427,6 +477,25 @@ class CompressedInteractions:
             self.timestamps.copy(),
         )
 
+    # -- serialization (reference ``src/data.rs:227``) -----------------------
+
+    def save(self, path: str) -> None:
+        """Persist to ``.npz`` (atomic write)."""
+        _atomic_savez(
+            path, "compressed_interactions",
+            num_users=self.num_users, num_items=self.num_items,
+            user_pointers=self.user_pointers, item_ids=self.item_ids,
+            timestamps=self.timestamps,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "CompressedInteractions":
+        z = _load_npz(path, "compressed_interactions")
+        return cls(
+            int(z["num_users"]), int(z["num_items"]),
+            z["user_pointers"], z["item_ids"], z["timestamps"],
+        )
+
 
 # ---------------------------------------------------------------------------
 # Triplet (COO) layout
@@ -475,6 +544,25 @@ class TripletInteractions:
             self.iter_minibatch(minibatch_size, start=i * chunk, stop=(i + 1) * chunk)
             for i in range(num_partitions)
         ]
+
+    # -- serialization (reference ``src/data.rs:435``) -----------------------
+
+    def save(self, path: str) -> None:
+        """Persist to ``.npz`` (atomic write)."""
+        _atomic_savez(
+            path, "triplet_interactions",
+            num_users=self.num_users, num_items=self.num_items,
+            user_ids=self.user_ids, item_ids=self.item_ids,
+            timestamps=self.timestamps,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "TripletInteractions":
+        z = _load_npz(path, "triplet_interactions")
+        return cls(
+            int(z["num_users"]), int(z["num_items"]),
+            z["user_ids"], z["item_ids"], z["timestamps"],
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -120,15 +120,33 @@ def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteraction
     while p_pad < max_prefix:
         p_pad *= 2
 
+    # One compiled shape per call: every user batch is padded to the same
+    # width (the final partial batch used to cost one extra compile of the
+    # whole chunk counter per distinct remainder). Small test sets bucket to
+    # the next power of two so repeated calls reuse programs too.
+    if len(users) >= _USER_BATCH:
+        u_pad = _USER_BATCH
+    else:
+        u_pad = 1
+        while u_pad < len(users):
+            u_pad *= 2
+
     rrs = []
     for start in range(0, len(users), _USER_BATCH):
         batch_prefixes = prefixes[start : start + _USER_BATCH]
         test_items = test_items_all[start : start + _USER_BATCH]
         u = len(batch_prefixes)
+        if u < u_pad:
+            # Padding users: empty history (scored as item-0 history), item 0
+            # held out; their reciprocal ranks are dropped below.
+            batch_prefixes = batch_prefixes + [[]] * (u_pad - u)
+            test_items = np.concatenate(
+                [test_items, np.zeros(u_pad - u, dtype=test_items.dtype)]
+            )
 
-        prefix_arr = np.full((u, p_pad), num_items, dtype=np.int32)
-        test_in_prefix = np.zeros((u,), dtype=bool)
-        for i, p in enumerate(batch_prefixes):
+        prefix_arr = np.full((u_pad, p_pad), num_items, dtype=np.int32)
+        test_in_prefix = np.zeros((u_pad,), dtype=bool)
+        for i, p in enumerate(batch_prefixes[:u]):
             prefix_arr[i, : len(p)] = p
             test_in_prefix[i] = test_items[i] in p
 
@@ -153,8 +171,8 @@ def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteraction
                 "test items or non-finite parameters)."
             )
 
-        counts = jnp.zeros((u,), dtype=jnp.int32)
-        self_hits = jnp.zeros((u,), dtype=jnp.int32)
+        counts = jnp.zeros((u_pad,), dtype=jnp.int32)
+        self_hits = jnp.zeros((u_pad,), dtype=jnp.int32)
         test_j = jnp.asarray(test_items)
         for c in range(num_chunks):
             lo = c * item_chunk
@@ -167,7 +185,7 @@ def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteraction
 
         # rank = 1 (the item itself, ties-count-against) + other items >= it.
         ranks = 1 + np.asarray(counts) - np.asarray(self_hits)
-        rrs.append(1.0 / ranks.astype(np.float64))
+        rrs.append(1.0 / ranks[:u].astype(np.float64))  # drop padding users
 
     return float(np.mean(np.concatenate(rrs)))
 

@@ -393,12 +393,21 @@ class ImplicitSequenceModel:
         # cannot be recycled) plus a cheap content fingerprint guarding
         # against in-place mutation of the arrays.
         ids = interactions.item_ids
+        ptrs = interactions.user_pointers
+        # Order-sensitive weighted hash: catches sum-preserving in-place
+        # permutations/edits of item_ids that a plain sum would miss.
+        if len(ids):
+            weights = np.arange(1, len(ids) + 1, dtype=np.uint64)
+            id_hash = int((ids.astype(np.uint64) * weights).sum() % (2**61 - 1))
+        else:
+            id_hash = 0
         fingerprint = (
             len(interactions),
             interactions.num_users,
             interactions.num_items,
             int(ids.sum()) if len(ids) else 0,  # catches in-place edits
-            int(ids[:64].sum()) if len(ids) else 0,
+            id_hash,
+            int(ptrs.sum()) if len(ptrs) else 0,  # catches pointer mutation
         )
         cache_key = (
             id(interactions), fingerprint, hp._max_sequence_length, hp._packed,

@@ -8,18 +8,19 @@ equivalent saves a directory with:
 * ``state.msgpack`` — the parameter pytree and the JAX PRNG key (the only
   RNG the training loop consumes — epoch shuffles and negative sampling
   both run on device from it), via flax's msgpack serialization;
-* ``config.json`` — hyperparameters + model type, written LAST as the
-  commit marker: a crash mid-save leaves either the old checkpoint's
-  config (with the old state intact until the state replace) or a missing
-  marker, never a silently inconsistent pair that loads.
+* ``config.json`` — hyperparameters + model type + a content hash of
+  ``state.msgpack``, written LAST as the commit marker: a crash between
+  the two writes leaves a config whose hash does not match the new state,
+  which ``load_model`` rejects — never a silently inconsistent pair that
+  loads (shape checks alone cannot catch a stale config whose dims happen
+  to coincide).
 
-``load_model`` validates the restored table shape against the config so a
-mismatched pair fails loudly instead of producing a model whose parameters
-contradict its hyperparameters. Round-trips restore training exactly.
+Round-trips restore training exactly.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from pathlib import Path
@@ -43,8 +44,11 @@ def save_model(model, path: str) -> None:
     tmp_state.write_bytes(blob)
     os.replace(tmp_state, p / "state.msgpack")
 
-    # Config last: it is the checkpoint's commit marker.
+    # Config last: it is the checkpoint's commit marker, and it carries the
+    # state blob's hash so a crash between the two replaces (new state, old
+    # config) can never load as a silently mismatched pair.
     config = model.hyper.to_dict()
+    config["state_sha256"] = hashlib.sha256(blob).hexdigest()
     tmp_cfg = p / "config.json.tmp"
     tmp_cfg.write_text(json.dumps(config, indent=2))
     os.replace(tmp_cfg, p / "config.json")
@@ -56,6 +60,14 @@ def load_model(path: str):
     p = Path(path)
     config = json.loads((p / "config.json").read_text())
     config.pop("np_rng_state", None)  # legacy field, no longer used
+    blob = (p / "state.msgpack").read_bytes()
+    want_hash = config.pop("state_sha256", None)
+    if want_hash is not None and hashlib.sha256(blob).hexdigest() != want_hash:
+        raise ValueError(
+            f"Checkpoint state/config mismatch at {path}: state.msgpack does "
+            "not match the hash recorded in config.json — the directory "
+            "holds files from different saves."
+        )
     model_type = config["model_type"]
     if model_type == "lstm":
         hyper = lstm.Hyperparameters.from_dict(config)
@@ -65,7 +77,7 @@ def load_model(path: str):
         raise ValueError(f"Unknown model_type: {model_type}")
 
     model = hyper.build()
-    state = serialization.msgpack_restore((p / "state.msgpack").read_bytes())
+    state = serialization.msgpack_restore(blob)
 
     table = state["params"]["item_table"]
     want = (config["num_items"], config["item_embedding_dim"] + 1)

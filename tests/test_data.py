@@ -193,3 +193,46 @@ def test_goodbooks_loader(tmp_path):
     assert [e.user_id for e in inter] == [1, 1, 2, 2]
     assert [e.item_id for e in inter] == [20, 40, 10, 30]
     assert [e.timestamp for e in inter] == [1, 3, 0, 2]
+
+
+def test_container_save_load_round_trip(tmp_path):
+    """All three containers persist and restore exactly (the reference
+    derives Serialize/Deserialize on each, src/data.rs:91,227,435)."""
+    rng = np.random.default_rng(5)
+    inter = D.Interactions.from_arrays(
+        rng.integers(0, 30, 500), rng.integers(0, 40, 500),
+        rng.integers(0, 1000, 500), 30, 40,
+    )
+    p = tmp_path / "inter.npz"
+    inter.save(str(p))
+    back = D.Interactions.load(str(p))
+    assert (back.num_users, back.num_items) == (30, 40)
+    np.testing.assert_array_equal(back.user_ids, inter.user_ids)
+    np.testing.assert_array_equal(back.item_ids, inter.item_ids)
+    np.testing.assert_array_equal(back.timestamps, inter.timestamps)
+
+    comp = inter.to_compressed()
+    comp.save(str(tmp_path / "comp.npz"))
+    cback = D.CompressedInteractions.load(str(tmp_path / "comp.npz"))
+    np.testing.assert_array_equal(cback.user_pointers, comp.user_pointers)
+    np.testing.assert_array_equal(cback.item_ids, comp.item_ids)
+    np.testing.assert_array_equal(cback.timestamps, comp.timestamps)
+    assert (cback.num_users, cback.num_items) == (comp.num_users, comp.num_items)
+
+    trip = inter.to_triplet()
+    trip.save(str(tmp_path / "trip.npz"))
+    tback = D.TripletInteractions.load(str(tmp_path / "trip.npz"))
+    np.testing.assert_array_equal(tback.user_ids, trip.user_ids)
+    np.testing.assert_array_equal(tback.item_ids, trip.item_ids)
+    np.testing.assert_array_equal(tback.timestamps, trip.timestamps)
+
+
+def test_container_load_wrong_kind_raises(tmp_path):
+    rng = np.random.default_rng(5)
+    inter = D.Interactions.from_arrays(
+        rng.integers(0, 5, 20), rng.integers(0, 5, 20), np.arange(20), 5, 5
+    )
+    p = tmp_path / "x.npz"
+    inter.save(str(p))
+    with pytest.raises(ValueError, match="interactions"):
+        D.CompressedInteractions.load(str(p))

@@ -118,3 +118,12 @@ def test_native_packing_skips_zero_length():
     packed = D.pack_streams(padded, 4)  # native plan
     assert packed.num_examples == 4
     assert float(packed.starts.sum()) == 1.0
+
+
+def test_csv_parse_rejects_short_rows(tmp_path):
+    """Lines with fewer than 4 comma-separated fields must error, matching
+    the numpy loadtxt fallback (which raises), not zero-fill (ADVICE r1)."""
+    p = tmp_path / "short.csv"
+    p.write_text("user_id,item_id,rating\n1,2,5\n3,4,1\n")
+    with pytest.raises(IOError):
+        _native.parse_interactions_csv(str(p))

@@ -106,3 +106,33 @@ def test_checkpoint_mismatch_detected(tmp_path):
     (path / "config.json").write_text(json.dumps(cfg))
     with pytest.raises(ValueError, match="mismatch"):
         load_model(str(path))
+
+
+def test_checkpoint_same_shape_stale_config_detected(tmp_path):
+    """A stale config whose dims coincide with the new state (changed lr
+    only) must still be rejected — the state hash catches what shape
+    validation cannot (ADVICE round 1)."""
+    import json
+
+    from sbr_rs_tpu.models import ewma
+    from sbr_rs_tpu.utils.checkpoint import load_model
+
+    def build(lr):
+        return (
+            ewma.Hyperparameters(25, 8).embedding_dim(16).learning_rate(lr)
+            .num_epochs(1).from_seed(0).build()
+        )
+
+    model = build(0.1)
+    model.fit(_toy().to_compressed())
+    path = tmp_path / "ckpt"
+    model.save(str(path))
+    stale_config = (path / "config.json").read_text()
+
+    model2 = build(0.5)  # same shapes, different hyperparams
+    model2.fit(_toy().to_compressed())
+    model2.save(str(path))
+    # Crash-window simulation: new state.msgpack paired with the OLD config.
+    (path / "config.json").write_text(stale_config)
+    with pytest.raises(ValueError, match="mismatch"):
+        load_model(str(path))
