@@ -66,11 +66,23 @@ class Hyperparameters:
         self._sparse_updates: Optional[bool] = None  # None = auto by table size
         self._packed = False
         self._table_dtype = "float32"
+        self._lr_schedule = "constant"
 
     # -- fluent setters (names mirror the reference) -----------------------
 
     def learning_rate(self, learning_rate: float) -> "Hyperparameters":
         self._learning_rate = float(learning_rate)
+        return self
+
+    def lr_schedule(self, schedule: str) -> "Hyperparameters":
+        """Learning-rate schedule over the whole fit: ``"constant"``
+        (default — the reference's behavior), ``"linear"`` (decay to 0) or
+        ``"cosine"``. Batched synchronous training takes far fewer optimizer
+        steps than the reference's per-sequence SGD; a decaying tail reduces
+        final-iterate variance (SURVEY.md §7 hard part 2)."""
+        if schedule not in ("constant", "linear", "cosine"):
+            raise ValueError(f"unknown lr schedule: {schedule!r}")
+        self._lr_schedule = schedule
         return self
 
     def l2_penalty(self, l2_penalty: float) -> "Hyperparameters":
@@ -186,6 +198,7 @@ class Hyperparameters:
             "packed": self._packed,
             "table_dtype": self._table_dtype,
             "sparse_updates": self._sparse_updates,
+            "lr_schedule": self._lr_schedule,
         }
 
     @classmethod
@@ -204,6 +217,7 @@ class Hyperparameters:
         hp._packed = d.get("packed", False)
         hp._table_dtype = d.get("table_dtype", "float32")
         hp._sparse_updates = d.get("sparse_updates")
+        hp._lr_schedule = d.get("lr_schedule", "constant")
         return hp
 
 
@@ -256,6 +270,13 @@ class ImplicitSequenceModel:
         the recurrent state there); None for one-window-per-row batches."""
         raise NotImplementedError
 
+    def _train_tower_fn(self):
+        """Tower used by the TRAINING step. Defaults to :meth:`_tower_fn`;
+        subclasses with mesh-aware kernels (Pallas under ``jax.shard_map``)
+        override this — the serving path keeps the plain tower, whose jit
+        XLA partitions on its own."""
+        return self._tower_fn()
+
     def _tower_apply(self, tower_params: Dict, x: jnp.ndarray, starts=None) -> jnp.ndarray:
         return self._tower_fn()(tower_params, x, starts=starts)
 
@@ -297,6 +318,7 @@ class ImplicitSequenceModel:
             l2_penalty=hp._l2_penalty,
             sparse_updates=sparse,
             table_kernel=table_kernel,
+            lr_schedule=hp._lr_schedule,
         )
 
     def _build_fit_fn(
@@ -313,7 +335,11 @@ class ImplicitSequenceModel:
         *sequence*, ``src/models/sequence_model.rs:111-169``). Epoch
         shuffles are generated on device (the reference shuffles
         subsequences per epoch, ``src/models/sequence_model.rs:109``)."""
-        train_step = make_train_step(self._engine_config(), self._tower_fn())
+        train_step = make_train_step(
+            self._engine_config(),
+            self._train_tower_fn(),
+            total_steps=num_batches * num_epochs,
+        )
         mesh = self.hyper._mesh
         n_pad = num_batches * batch_size
         if mesh is not None:
@@ -452,6 +478,11 @@ class ImplicitSequenceModel:
             )
 
         batch_size = min(hp._batch_size, n)
+        if hp._mesh is not None:
+            # shard_map-wrapped towers need the batch to split evenly over
+            # the data axis; extra rows read the zero-mask sentinel window.
+            dd = hp._mesh.shape.get("data", 1)
+            batch_size = -(-batch_size // dd) * dd
         num_batches = -(-n // batch_size)  # ceil — no dropped windows
 
         # The compiled program bakes in everything the engine closes over —

@@ -55,6 +55,12 @@ class EngineConfig:
     optimizer: Optimizer
     learning_rate: float
     l2_penalty: float
+    # Learning-rate schedule over the whole fit: "constant" (the reference's
+    # behavior, src/models/lstm.rs:234-248), "linear" (decay to 0) or
+    # "cosine". Batched synchronous training takes ~100x fewer optimizer
+    # steps than the reference's per-sequence SGD; a decaying tail lowers
+    # the variance of the final iterate (SURVEY.md §7 hard part 2).
+    lr_schedule: str = "constant"
     # Update strategy for the item table/biases. "sparse" = sort+segment-sum
     # the touched rows, O(batch) HBM traffic — required for huge catalogs.
     # "dense" = scatter-add cotangent + full-table update with touched-row
@@ -118,6 +124,7 @@ def init_opt_state(kind: Optimizer, params: Dict) -> Dict:
 def make_train_step(
     config: EngineConfig,
     tower_apply: Callable[[Dict, jnp.ndarray], jnp.ndarray],
+    total_steps: int = 0,
 ) -> Callable:
     """Build the jittable training step.
 
@@ -135,7 +142,6 @@ def make_train_step(
     k_cand = WARP_CANDIDATES if is_warp else 1
     num_items = config.num_items
     kind = config.optimizer
-    lr = config.learning_rate
     l2 = config.l2_penalty
 
     def train_step(params, opt_state, key, batch):
@@ -250,6 +256,16 @@ def make_train_step(
             return jnp.sum(losses * mask)
 
         step = opt_state["step"]
+        if config.lr_schedule == "linear" and total_steps:
+            lr = config.learning_rate * (
+                1.0 - step.astype(jnp.float32) / total_steps
+            )
+        elif config.lr_schedule == "cosine" and total_steps:
+            lr = config.learning_rate * 0.5 * (
+                1.0 + jnp.cos(jnp.pi * step.astype(jnp.float32) / total_steps)
+            )
+        else:
+            lr = config.learning_rate
 
         loss_sum, (d_s, d_neg, d_tower) = jax.value_and_grad(
             scored_loss, argnums=(0, 1, 2)

@@ -240,35 +240,39 @@ def lstm_apply_pallas(
     ``starts``) with the recurrence — forward and VJP — as fused Pallas
     kernels."""
 
-    def _keep(x):
-        b_, t_, _ = x.shape
-        if starts is None:
-            return jnp.ones((t_, b_, 1), x.dtype)
-        return (1.0 - starts).swapaxes(0, 1)[..., None].astype(x.dtype)
+    b0, t0, _ = x.shape
+    if starts is None:
+        keep = jnp.ones((t0, b0, 1), x.dtype)
+    else:
+        keep = (1.0 - starts).swapaxes(0, 1)[..., None].astype(x.dtype)
 
+    # `keep` is an EXPLICIT primal of the custom_vjp (zero cotangent), never
+    # a closure: a closed-over traced value would be captured by the
+    # backward's closure and leak into the transpose trace — shard_map
+    # traces the backward separately and rejects it (UnexpectedTracerError).
     @jax.custom_vjp
-    def _apply(params, x):
-        hidden, _ = _run_fwd(params, x)
+    def _apply(params, x, keep):
+        hidden, _ = _run_fwd(params, x, keep)
         return hidden
 
-    def _run_fwd(params, x):
+    def _run_fwd(params, x, keep):
         b_, t_, d = x.shape
         # Time-major projection: [T, B, G*D].
         xz = (
             (x.reshape(b_ * t_, d) @ params["w_x"]).reshape(b_, t_, -1) + params["b"]
         ).swapaxes(0, 1)
-        hidden_tm, cell_tm = _fwd_pallas(xz, params["w_h"], _keep(x), coupled=coupled)
+        hidden_tm, cell_tm = _fwd_pallas(xz, params["w_h"], keep, coupled=coupled)
         return hidden_tm.swapaxes(0, 1), (xz, hidden_tm, cell_tm)
 
-    def _fwd(params, x):
-        hidden, res = _run_fwd(params, x)
-        return hidden, (params, x, *res)
+    def _fwd(params, x, keep):
+        hidden, res = _run_fwd(params, x, keep)
+        return hidden, (params, x, keep, *res)
 
     def _bwd(res, g):
-        params, x, xz, hidden_tm, cell_tm = res
+        params, x, keep, xz, hidden_tm, cell_tm = res
         b_, t_, d = x.shape
         dxz_tm, dw_h = _bwd_pallas(
-            xz, params["w_h"], hidden_tm, cell_tm, g.swapaxes(0, 1), _keep(x),
+            xz, params["w_h"], hidden_tm, cell_tm, g.swapaxes(0, 1), keep,
             coupled=coupled,
         )
         dxz2 = dxz_tm.swapaxes(0, 1).reshape(b_ * t_, -1)
@@ -278,7 +282,7 @@ def lstm_apply_pallas(
             "b": dxz2.sum(axis=0),
         }
         dx = (dxz2 @ params["w_x"].T).reshape(b_, t_, d)
-        return dparams, dx
+        return dparams, dx, jnp.zeros_like(keep)
 
     _apply.defvjp(_fwd, _bwd)
-    return _apply(params, x)
+    return _apply(params, x, keep)

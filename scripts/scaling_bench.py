@@ -1,0 +1,184 @@
+"""Data-parallel scaling measurements -> SCALING_r{N}.json.
+
+BASELINE.md's north-star includes ">=85% scaling efficiency to 2 hosts";
+real multi-host hardware is not available here, so this records the three
+measurable proxies (methodology included in the artifact):
+
+1. cpu_weak_scaling — examples/s on a virtual CPU mesh at data=1 vs data=8,
+   fixed per-device batch (weak scaling). Virtual devices share one host's
+   cores, so this validates that the SPMD program itself scales (no
+   serialization hot spots), not hardware throughput.
+2. two_process — the same global 8-device workload run as one process vs
+   two `jax.distributed` processes (gloo collectives): trajectory parity
+   and relative wall-clock. Exercises real cross-process collectives.
+3. tpu_batch_scaling — on the real chip, per-example step cost at per-chip
+   batch B vs 2B vs 4B: DP at fixed per-chip batch adds only the gradient
+   all-reduce to this, so flat per-example cost is the single-chip
+   precondition for linear DP scaling.
+
+Usage:
+    python scripts/scaling_bench.py all [OUT.json]   # orchestrates the rest
+    python scripts/scaling_bench.py cpu_weak N_DEV
+    python scripts/scaling_bench.py tpu_batch BATCH
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _fit_throughput(mesh, batch_size: int, num_items=2048, num_users=2048, seq_len=24):
+    import numpy as np
+
+    from sbr_rs_tpu.data import Interactions
+    from sbr_rs_tpu.models import Loss, Optimizer, lstm
+
+    rng = np.random.default_rng(0)
+    inter = Interactions.from_arrays(
+        np.repeat(np.arange(num_users), seq_len),
+        rng.integers(0, num_items, num_users * seq_len),
+        np.tile(np.arange(seq_len), num_users),
+        num_users,
+        num_items,
+    ).to_compressed()
+
+    hp = (
+        lstm.Hyperparameters(num_items, 24)
+        .embedding_dim(32)
+        .learning_rate(0.1)
+        .loss(Loss.WARP)
+        .optimizer(Optimizer.ADAGRAD)
+        .num_epochs(4)
+        .batch_size(batch_size)
+        .from_seed(42)
+    )
+    if mesh is not None:
+        hp = hp.mesh(mesh)
+    model = hp.build()
+    model.fit(inter)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        model.fit(inter)
+        best = min(best, time.perf_counter() - t0)
+    total = model.history.examples_per_epoch * 4
+    return total / best
+
+
+def cpu_weak(n_dev: int) -> None:
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_dev} "
+        + os.environ.get("XLA_FLAGS", "")
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from sbr_rs_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=n_dev, model=1)
+    eps = _fit_throughput(mesh, batch_size=32 * n_dev)
+    print(json.dumps({"n_dev": n_dev, "examples_per_sec": eps}))
+
+
+def tpu_batch(batch: int) -> None:
+    eps = _fit_throughput(None, batch_size=batch)
+    print(json.dumps({"batch": batch, "examples_per_sec": eps}))
+
+
+def _sub(args, extra_env=None) -> dict:
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS",)}
+    env.update(extra_env or {})
+    out = subprocess.run(
+        [sys.executable, __file__] + [str(a) for a in args],
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _run_multiprocess(num_processes: int) -> "tuple[dict, float]":
+    import socket
+
+    script = os.path.join(os.path.dirname(__file__), "multiprocess_fit.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "SBR_TEST_PLATFORM")
+    }
+    t0 = time.perf_counter()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(num_processes), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for i in range(num_processes)
+    ]
+    outs = [p.communicate(timeout=1200) for p in procs]
+    wall = time.perf_counter() - t0
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+    line = [l for l in outs[0][0].splitlines() if l.startswith("{")][-1]
+    return json.loads(line), wall
+
+
+def all_benches(out_path: str) -> None:
+    result = {"methodology": __doc__.strip()}
+
+    w1 = _sub(["cpu_weak", 1])
+    w8 = _sub(["cpu_weak", 8])
+    result["cpu_weak_scaling"] = {
+        "data1_examples_per_sec": w1["examples_per_sec"],
+        "data8_examples_per_sec": w8["examples_per_sec"],
+        "efficiency_vs_linear": w8["examples_per_sec"] / (8 * w1["examples_per_sec"]),
+    }
+
+    sp, sp_wall = _run_multiprocess(1)
+    mp, mp_wall = _run_multiprocess(2)
+    result["two_process"] = {
+        "loss_single": sp["loss"],
+        "loss_two_process": mp["loss"],
+        "trajectory_identical": sp["epoch_losses"] == mp["epoch_losses"],
+        "wall_s_single": sp_wall,
+        "wall_s_two_process": mp_wall,
+    }
+
+    tb = {}
+    for b in (256, 512, 1024):
+        r = _sub(["tpu_batch", b])
+        tb[str(b)] = r["examples_per_sec"]
+    result["tpu_batch_scaling"] = {
+        "examples_per_sec_by_batch": tb,
+        "per_example_cost_flatness_256_to_1024": tb["1024"] / tb["256"],
+    }
+
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+def main() -> None:
+    cmd = sys.argv[1]
+    if cmd == "cpu_weak":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        cpu_weak(int(sys.argv[2]))
+    elif cmd == "tpu_batch":
+        tpu_batch(int(sys.argv[2]))
+    elif cmd == "all":
+        out = sys.argv[2] if len(sys.argv) > 2 else "SCALING_r02.json"
+        all_benches(out)
+    else:
+        raise SystemExit(f"unknown command {cmd}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""REAL multi-process training: two `jax.distributed` processes (gloo CPU
+collectives, 4 virtual devices each) form one 8-device global mesh and must
+reproduce the single-process 8-device fit trajectory.
+
+This exercises what tests/test_sharding.py cannot: cross-process
+`jax.distributed.initialize`, global-array construction from per-process
+shards, and collectives that actually cross a process boundary. The
+reference's only real-concurrency test is the 2-thread fit of
+``src/models/lstm.rs:474-496``.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+SCRIPT = os.path.join(os.path.dirname(__file__), "..", "scripts", "multiprocess_fit.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run(num_processes: int, timeout: float = 600.0) -> dict:
+    port = _free_port()
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        # the subprocess picks its own platform/device-count flags
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "SBR_TEST_PLATFORM")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, SCRIPT, str(num_processes), str(i), str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            text=True,
+        )
+        for i in range(num_processes)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=timeout)
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed (rc={rc}):\n{err[-3000:]}"
+    # process 0 prints the JSON line
+    line = [l for l in outs[0][1].splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+@pytest.mark.slow
+def test_two_process_fit_matches_single_process():
+    single = _run(1)
+    multi = _run(2)
+    assert multi["global_devices"] == 8
+    assert single["global_devices"] == 8
+    np.testing.assert_allclose(
+        multi["epoch_losses"], single["epoch_losses"], rtol=1e-4,
+        err_msg="2-process sharded fit diverged from single-process trajectory",
+    )
