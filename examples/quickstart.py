@@ -17,6 +17,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+# Honor JAX_PLATFORMS even under plugin backends that ignore the env var
+# (the axon TPU plugin registers itself regardless).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import sbr_rs_tpu as sbr
 
 
@@ -37,7 +44,7 @@ def main() -> None:
         .lstm_variant(sbr.models.lstm.LSTMVariant.NORMAL)
         .loss(sbr.models.Loss.WARP)
         .optimizer(sbr.models.Optimizer.ADAGRAD)
-        .num_epochs(10)
+        .num_epochs(int(os.environ.get("SBR_QUICKSTART_EPOCHS", "10")))
         .batch_size(32)
         .from_seed(42)
         .build()

@@ -175,9 +175,14 @@ class Hyperparameters:
         hp._parallelism = (
             Parallelism.ASYNCHRONOUS if rng.random() < 0.5 else Parallelism.SYNCHRONOUS
         )
-        hp._num_threads = 1
+        # The reference samples num_threads in 1..=num_cpus
+        # (src/models/lstm.rs:169); the TPU equivalent of its thread count
+        # is the data-parallel degree, realized as a (data=num_threads)
+        # mesh at build time when that many devices exist.
+        hp._num_threads = int(rng.integers(1, max(1, jax.device_count()) + 1))
         hp._num_epochs = 2 ** int(rng.integers(3, 7))
         hp._batch_size = int(2 ** rng.integers(3, 8))
+        hp._packed = bool(rng.random() < 0.5)
         hp._seed = int(rng.integers(0, 2**31))
         return hp
 
@@ -240,6 +245,17 @@ class ImplicitSequenceModel:
 
     def __init__(self, hyper: Hyperparameters):
         self.hyper = hyper
+        if hyper._mesh is None and hyper._num_threads > 1:
+            # num_threads is the reference's data-parallel degree
+            # (src/models/sequence_model.rs:91-102); here it requests a
+            # (data=n, model=1) mesh, clamped to the devices present.
+            n = min(hyper._num_threads, jax.device_count())
+            if n > 1:
+                from ..parallel import make_mesh
+
+                hyper._mesh = make_mesh(
+                    data=n, model=1, devices=jax.devices()[:n]
+                )
         key = jax.random.PRNGKey(hyper._seed)
         k_emb, k_tower, self._key = jax.random.split(key, 3)
         params = init_embedding_params(

