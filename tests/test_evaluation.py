@@ -107,3 +107,36 @@ def test_users_with_single_item_skipped():
     # user 1: history [0, 2], test 3; masked {0, 2} -> order 1,3,4 -> rank 2...
     # scores: 1 -> -1, 3 -> -3, 4 -> -4 ; test score -3; >= -3: items 1, 3 -> rank 2
     assert abs(mrr - 0.5) < 1e-6
+
+
+def test_single_compile_across_partial_batches(monkeypatch):
+    """The final partial user batch must NOT cost an extra compile of the
+    chunk counter: every batch is padded to one width (VERDICT r1 item 9)."""
+    from sbr_rs_tpu import evaluation as E
+
+    monkeypatch.setattr(E, "_USER_BATCH", 16)
+    rng = np.random.default_rng(0)
+    num_users, num_items = 40, 30  # 16 + 16 + partial 8 -> all padded to 16
+    lengths = rng.integers(2, 8, num_users)
+    inter = D.Interactions.from_arrays(
+        np.repeat(np.arange(num_users), lengths),
+        rng.integers(0, num_items, int(lengths.sum())),
+        np.concatenate([np.arange(l) for l in lengths]),
+        num_users,
+        num_items,
+    ).to_compressed()
+
+    from sbr_rs_tpu.models import ewma
+
+    model = (
+        ewma.Hyperparameters(num_items, 8).embedding_dim(16).num_epochs(1)
+        .batch_size(8).from_seed(0).build()
+    )
+    model.fit(inter)
+
+    counter = E._make_chunk_counter(min(E._ITEM_CHUNK, num_items))
+    before = counter._cache_size()
+    mrr = E.mrr_score(model, inter)
+    assert np.isfinite(mrr)
+    added = counter._cache_size() - before
+    assert added == 1, f"expected ONE chunk-counter compile, got {added}"
