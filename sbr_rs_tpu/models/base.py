@@ -365,7 +365,7 @@ class ImplicitSequenceModel:
 
         optimizer = self.hyper._optimizer
 
-        def fit_fn(params, key, stream, mask, starts):
+        def fit_fn(params, key, stream, mask, starts, lr, l2):
             # Fresh optimizer state per fit (the reference rebuilds the
             # optimizer each call, src/models/sequence_model.rs:90) —
             # created INSIDE the program: zeros_like inherits the params'
@@ -392,7 +392,9 @@ class ImplicitSequenceModel:
                 step_key = jax.random.fold_in(
                     key_steps, epoch_idx * num_batches + batch_idx
                 )
-                params, opt_state, loss = train_step(params, opt_state, step_key, batch)
+                params, opt_state, loss = train_step(
+                    params, opt_state, step_key, batch, lr=lr, l2=l2
+                )
                 return (params, opt_state, perm, epoch_idx), loss
 
             def epoch_body(carry, epoch_idx):
@@ -503,16 +505,30 @@ class ImplicitSequenceModel:
 
         # The compiled program bakes in everything the engine closes over —
         # shapes AND hyperparameters — so the cache key must cover both or a
-        # later fit() after tweaking e.g. the learning rate would silently
-        # reuse the stale program.
+        # later fit() after tweaking a hyperparameter would silently reuse
+        # the stale program. lr and l2 are EXCLUDED: they enter the program
+        # as traced scalars precisely so hyperopt sweeps reuse one compile.
+        import dataclasses as _dc
+
+        cfg_sans_lr = _dc.replace(
+            self._engine_config(), learning_rate=0.0, l2_penalty=0.0
+        )
         shape_key = (
             batch_size, num_batches, hp._num_epochs, stream.shape, hp._packed,
-            self._engine_config(), id(hp._mesh), self._rep_fn_cache_key(),
+            cfg_sans_lr, id(hp._mesh), self._rep_fn_cache_key(),
         )
         if self._epoch_fn is None or self._epoch_fn_shape != shape_key:
-            self._epoch_fn = self._build_fit_fn(
-                batch_size, num_batches, hp._num_epochs, n, hp._packed
-            )
+            # Process-wide cache: hyperopt builds hundreds of models; trials
+            # that differ only in lr/l2/seed share one compiled fit program
+            # (lr/l2 are traced scalars; the seed never enters the program).
+            full_key = (shape_key, None if hp._mesh is None else hp._mesh)
+            cached_fn = self._FIT_FN_CACHE.get(full_key)
+            if cached_fn is None:
+                cached_fn = self._build_fit_fn(
+                    batch_size, num_batches, hp._num_epochs, n, hp._packed
+                )
+                self._FIT_FN_CACHE[full_key] = cached_fn
+            self._epoch_fn = cached_fn
             self._epoch_fn_shape = shape_key
 
         params = self._params
@@ -520,7 +536,8 @@ class ImplicitSequenceModel:
         t0 = time.perf_counter()
         try:
             params, epoch_losses = self._epoch_fn(
-                params, fit_key, stream, mask, starts
+                params, fit_key, stream, mask, starts,
+                jnp.float32(hp._learning_rate), jnp.float32(hp._l2_penalty),
             )
         except Exception as exc:
             # params were donated to the (failed) program; depending on how
@@ -558,6 +575,9 @@ class ImplicitSequenceModel:
     # instance (hyperopt fits hundreds of models; per-instance jit caches
     # would recompile the serving path every trial).
     _REP_FN_CACHE: Dict = {}
+    # Same story for the whole-fit program (keyed on shapes + the engine
+    # config minus lr/l2, which are traced).
+    _FIT_FN_CACHE: Dict = {}
 
     def _rep_fn_cache_key(self):
         """Subclasses with tower variants must extend this key."""

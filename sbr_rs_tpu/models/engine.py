@@ -142,9 +142,16 @@ def make_train_step(
     k_cand = WARP_CANDIDATES if is_warp else 1
     num_items = config.num_items
     kind = config.optimizer
-    l2 = config.l2_penalty
 
-    def train_step(params, opt_state, key, batch):
+    def train_step(params, opt_state, key, batch, lr=None, l2=None):
+        # lr/l2 may be passed as TRACED scalars so one compiled fit program
+        # serves every (lr, l2) trial of a hyperopt sweep — LSTM+WARP
+        # whole-fit compiles take minutes on TPU and would otherwise rerun
+        # per trial. Omitted, the config's values are baked as constants.
+        if lr is None:
+            lr = config.learning_rate
+        if l2 is None:
+            l2 = config.l2_penalty
         stream = batch["stream"]  # [B, T + 1]
         mask = batch["mask"]  # [B, T]
         starts = batch.get("starts")  # packed layout: window-reset positions
@@ -257,15 +264,11 @@ def make_train_step(
 
         step = opt_state["step"]
         if config.lr_schedule == "linear" and total_steps:
-            lr = config.learning_rate * (
-                1.0 - step.astype(jnp.float32) / total_steps
-            )
+            lr = lr * (1.0 - step.astype(jnp.float32) / total_steps)
         elif config.lr_schedule == "cosine" and total_steps:
-            lr = config.learning_rate * 0.5 * (
+            lr = lr * 0.5 * (
                 1.0 + jnp.cos(jnp.pi * step.astype(jnp.float32) / total_steps)
             )
-        else:
-            lr = config.learning_rate
 
         loss_sum, (d_s, d_neg, d_tower) = jax.value_and_grad(
             scored_loss, argnums=(0, 1, 2)
