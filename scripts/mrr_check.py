@@ -26,21 +26,24 @@ BARS = {
     "ewma_warp": 0.14,
 }
 
-# Per-config tuned (batch, lr) — the single source of truth lives in
-# tests/test_integration_ml100k.py (CONFIGS); env vars override for sweeps.
+# Per-config tuned (batch, lr, l2, epochs, schedule) — the single source of
+# truth lives in tests/test_integration_ml100k.py (CONFIGS); env vars
+# override for sweeps. See PARITY.md "Quality-gate robustness".
 _TUNED = {
-    "lstm_hinge": (32, 0.16),
-    "lstm_warp": (32, 0.13),
-    "ewma_hinge": (16, 0.2),
-    "ewma_warp": (16, 0.2),
+    "lstm_hinge": (16, 0.13, 0.013, 40, "constant"),
+    "lstm_warp": (1, 0.16, 0.01, 40, "cosine"),
+    "ewma_hinge": (2, 0.2, 0.004, 40, "cosine"),
+    "ewma_warp": (16, 0.15, 0.005, 40, "cosine"),
 }
 
 
 def run(name: str, train_mat, test_mat, num_items: int) -> float:
-    tuned_batch, tuned_lr = _TUNED[name]
+    tuned_batch, tuned_lr, tuned_l2, tuned_epochs, tuned_sched = _TUNED[name]
     batch = int(os.environ.get("SBR_CHECK_BATCH", tuned_batch))
     lr = float(os.environ.get("SBR_CHECK_LR", tuned_lr))
-    epochs = int(os.environ.get("SBR_CHECK_EPOCHS", "10"))
+    l2 = float(os.environ.get("SBR_CHECK_L2", tuned_l2))
+    epochs = int(os.environ.get("SBR_CHECK_EPOCHS", tuned_epochs))
+    sched = os.environ.get("SBR_CHECK_SCHED", tuned_sched)
     family, loss_name = name.split("_")
     loss = Loss.WARP if loss_name == "warp" else Loss.HINGE
     if family == "lstm":
@@ -53,11 +56,12 @@ def run(name: str, train_mat, test_mat, num_items: int) -> float:
     hp = (
         hp.embedding_dim(32)
         .learning_rate(lr)
-        .l2_penalty(0.0004)
+        .l2_penalty(l2)
         .loss(loss)
         .optimizer(Optimizer.ADAGRAD)
         .num_epochs(epochs)
         .batch_size(batch)
+        .lr_schedule(sched)
         .from_seed(42)
     )
     model = hp.build()
