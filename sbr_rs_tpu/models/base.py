@@ -369,9 +369,17 @@ class ImplicitSequenceModel:
             # Fresh optimizer state per fit (the reference rebuilds the
             # optimizer each call, src/models/sequence_model.rs:90) —
             # created INSIDE the program: zeros_like inherits the params'
-            # sharding and costs no host dispatches.
+            # sharding and costs no host dispatches. The model's root key
+            # also advances INSIDE the program (key_next output): a
+            # host-side jax.random.split costs several small dispatches
+            # that each pay the tunnel round-trip before the fit can start.
             opt_state = init_opt_state(optimizer, params)
-            key_steps, key_perm = jax.random.split(key)
+            # Two nested 2-way splits, NOT one 3-way split: this reproduces
+            # the historical host-side derivation (root -> (next, fit);
+            # fit -> (steps, perm)) bit-for-bit, so the tuned integration
+            # trajectories (PARITY.md) survive the move into the program.
+            key_next, key_fit = jax.random.split(key)
+            key_steps, key_perm = jax.random.split(key_fit)
 
             def batch_body(carry, batch_idx):
                 params, opt_state, perm, epoch_idx = carry
@@ -417,7 +425,7 @@ class ImplicitSequenceModel:
             (params, opt_state), epoch_losses = jax.lax.scan(
                 epoch_body, (params, opt_state), jnp.arange(num_epochs)
             )
-            return params, epoch_losses
+            return params, epoch_losses, key_next
 
         return jax.jit(fit_fn, donate_argnums=(0,))
 
@@ -532,12 +540,14 @@ class ImplicitSequenceModel:
             self._epoch_fn_shape = shape_key
 
         params = self._params
-        self._key, fit_key = jax.random.split(self._key)
         t0 = time.perf_counter()
         try:
-            params, epoch_losses = self._epoch_fn(
-                params, fit_key, stream, mask, starts,
-                jnp.float32(hp._learning_rate), jnp.float32(hp._l2_penalty),
+            # lr/l2 as NUMPY scalars: jnp.float32(...) would dispatch a
+            # convert_element_type program (one tunnel round-trip each)
+            # before the fit; numpy scalars upload with the call itself.
+            params, epoch_losses, self._key = self._epoch_fn(
+                params, self._key, stream, mask, starts,
+                np.float32(hp._learning_rate), np.float32(hp._l2_penalty),
             )
         except Exception as exc:
             # params were donated to the (failed) program; depending on how

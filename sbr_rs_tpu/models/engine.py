@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from ..models import Loss, Optimizer
 from ..ops import optimizers as opt_ops
 from ..ops.losses import pairwise_loss
-from ..ops.sampling import WARP_CANDIDATES, warp_select
+from ..ops.sampling import WARP_CANDIDATES, warp_select_onehot
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,13 +170,17 @@ def make_train_step(
         def gather(idx):
             # Gathered rows are promoted to f32: all score/gradient math is
             # full precision regardless of the table's storage dtype.
+            # Indices keep their natural shape: gathering straight into
+            # [..., C] lets XLA pick one layout instead of emitting
+            # flat-to-3D reshape copies around every gather (~20 us/step at
+            # B=256 on v5e).
             if config.table_kernel:
                 from ..ops.pallas_table import gather_rows
 
                 rows = gather_rows(table, idx.reshape(-1))
             else:
                 rows = jnp.take(table, idx.reshape(-1), axis=0)
-            return rows.astype(jnp.float32)
+            return rows.astype(jnp.float32).reshape(idx.shape + (table.shape[1],))
 
         # ONE gather serves inputs and positives: within the stream layout
         # the target of position t IS the input of position t+1, so the
@@ -188,9 +192,8 @@ def make_train_step(
         # regardless of the catalog size.
         rows_s = gather(stream)
 
-        def views(rows):
+        def views(full):
             """(input embeddings [B,T,D], positive fused rows [B,T,D+1])."""
-            full = rows.reshape(b, t + 1, -1)
             return full[:, :t, :-1], full[:, 1:, :]
 
         if is_warp:
@@ -214,18 +217,15 @@ def make_train_step(
             haug0 = jnp.concatenate([hidden0, jnp.ones((b, t, 1), hidden0.dtype)], -1)
             pos_score0 = jnp.einsum("bte,bte->bt", haug0, pos_rows0)
             cand_rows = jax.lax.stop_gradient(gather(candidates))
-            cand_score = jnp.einsum(
-                "bte,btke->btk", haug0, cand_rows.reshape(b, t, k_cand, -1)
-            )
-            sel = warp_select(pos_score0, cand_score)
+            cand_score = jnp.einsum("bte,btke->btk", haug0, cand_rows)
             # Arithmetic one-hot selection: take_along_axis lowers to a
             # per-element gather that costs ~8 us per 1k elements on TPU
             # (profiled: 64 us to pick 8192 ints at B=256); a K-wide
             # multiply-sum is a handful of fused VPU ops.
-            sel_onehot = (
-                sel[..., None] == jnp.arange(k_cand, dtype=jnp.int32)
-            ).astype(jnp.int32)
-            negatives = jnp.sum(candidates * sel_onehot, axis=-1)
+            sel_onehot = warp_select_onehot(pos_score0, cand_score)
+            negatives = jnp.sum(
+                candidates * sel_onehot.astype(jnp.int32), axis=-1
+            )
             # Values of the selected rows, re-exposed as a differentiable
             # argument (gradients attach to arguments, not provenance). A
             # fresh BT-row gather (~1.5 ns/row) beats selecting rows out of
@@ -273,7 +273,8 @@ def make_train_step(
         loss_sum, (d_s, d_neg, d_tower) = jax.value_and_grad(
             scored_loss, argnums=(0, 1, 2)
         )(rows_s, neg_rows, params["tower"])
-        d_rows = jnp.concatenate([d_s, d_neg])
+        c = table.shape[1]
+        d_rows = jnp.concatenate([d_s.reshape(-1, c), d_neg.reshape(-1, c)])
 
         if config.sparse_updates:
             dd = opt_ops.dedupe_rows(flat_idx, occ_valid, num_items)

@@ -26,3 +26,25 @@ def warp_select(pos_scores: jnp.ndarray, cand_scores: jnp.ndarray) -> jnp.ndarra
     viol = (1.0 - pos_scores[..., None] + cand_scores) > 0.0
     first = jnp.argmax(viol, axis=-1)
     return jnp.where(viol.any(axis=-1), first, k - 1).astype(jnp.int32)
+
+
+def warp_select_onehot(
+    pos_scores: jnp.ndarray, cand_scores: jnp.ndarray
+) -> jnp.ndarray:
+    """One-hot (float32, ``[..., K]``) of :func:`warp_select`'s choice.
+
+    Same acceptance rule expressed without an argmax reduction or an
+    index-vs-iota comparison: the first violator is "violates AND no prior
+    violations" (an exclusive cumsum along K), falling back to the last
+    draw when nothing violates. Everything is elementwise/cumsum — it fuses
+    into the surrounding VPU work, where the argmax+compare formulation
+    cost ~25 us/step at B=256 on v5e in reduction ops and layout copies.
+    """
+    k = cand_scores.shape[-1]
+    viol = (1.0 - pos_scores[..., None] + cand_scores) > 0.0
+    vi = viol.astype(jnp.float32)
+    prior = jnp.cumsum(vi, axis=-1) - vi  # violations strictly before k
+    first = vi * (prior == 0.0)
+    none = 1.0 - jnp.max(vi, axis=-1, keepdims=True)
+    last = jnp.zeros((k,), jnp.float32).at[-1].set(1.0)  # constant, folded
+    return first + none * last
