@@ -312,20 +312,6 @@ class ImplicitSequenceModel:
         if hp._mesh is not None and hp._mesh.shape.get("model", 1) > 1:
             sparse = True
 
-        # Fused one-hot gather/scatter kernels (ops/pallas_table.py) are
-        # opt-in (SBR_PALLAS_TABLE=1): with candidates kept out of the
-        # grad/scatter path, XLA's native gather wins on the measured
-        # configs (scripts/gather_profile.py) — kept for experimentation.
-        env = os.environ.get("SBR_PALLAS_TABLE")
-        table_kernel = env is not None and env not in ("0", "false", "off")
-        if table_kernel:
-            from ..ops.pallas_table import supported as table_kernel_supported
-
-            table_kernel = (
-                hp._mesh is None  # pallas_call is opaque to the partitioner
-                # the kernels hold the whole table in VMEM
-                and table_kernel_supported(hp._num_items, hp._item_embedding_dim + 1)
-            )
         return EngineConfig(
             num_items=hp._num_items,
             loss=hp._loss,
@@ -333,7 +319,6 @@ class ImplicitSequenceModel:
             learning_rate=hp._learning_rate,
             l2_penalty=hp._l2_penalty,
             sparse_updates=sparse,
-            table_kernel=table_kernel,
             lr_schedule=hp._lr_schedule,
         )
 

@@ -65,11 +65,12 @@ class EngineConfig:
     # the touched rows, O(batch) HBM traffic — required for huge catalogs.
     # "dense" = scatter-add cotangent + full-table update with touched-row
     # semantics — faster when the table is small (no sort on the hot path).
+    #
+    # (A one-hot-MXU gather/scatter kernel was tried and DELETED: a one-hot
+    # matmul costs N/128 MXU-cycles per gathered row — ~15 ns at N=1683 —
+    # versus ~1.5 ns/row for XLA's native gather; see ARCHITECTURE.md
+    # "Row-traffic roofline".)
     sparse_updates: bool = True
-    # Route the row gather / scatter-add through the fused one-hot MXU
-    # kernels (ops/pallas_table.py) — the fast path for VMEM-sized catalogs
-    # on TPU; XLA gather/scatter otherwise.
-    table_kernel: bool = False
 
 
 def init_embedding_params(
@@ -170,16 +171,10 @@ def make_train_step(
         def gather(idx):
             # Gathered rows are promoted to f32: all score/gradient math is
             # full precision regardless of the table's storage dtype.
-            # Indices keep their natural shape: gathering straight into
-            # [..., C] lets XLA pick one layout instead of emitting
-            # flat-to-3D reshape copies around every gather (~20 us/step at
-            # B=256 on v5e).
-            if config.table_kernel:
-                from ..ops.pallas_table import gather_rows
-
-                rows = gather_rows(table, idx.reshape(-1))
-            else:
-                rows = jnp.take(table, idx.reshape(-1), axis=0)
+            # Gather with FLAT indices, reshape the result once: 3D-indexed
+            # gathers measured 12% slower end-to-end (XLA picks worse
+            # layouts for the multi-dim gather output).
+            rows = jnp.take(table, idx.reshape(-1), axis=0)
             return rows.astype(jnp.float32).reshape(idx.shape + (table.shape[1],))
 
         # ONE gather serves inputs and positives: within the stream layout
@@ -306,16 +301,11 @@ def make_train_step(
                 ],
                 axis=1,
             )
-            if config.table_kernel:
-                from ..ops.pallas_table import scatter_add_rows
-
-                d_aug = scatter_add_rows(payload, scatter_idx, num_items)
-            else:
-                d_aug = (
-                    jnp.zeros((num_items, payload.shape[1]), payload.dtype)
-                    .at[scatter_idx]
-                    .add(payload, mode="drop")
-                )
+            d_aug = (
+                jnp.zeros((num_items, payload.shape[1]), payload.dtype)
+                .at[scatter_idx]
+                .add(payload, mode="drop")
+            )
             touched = d_aug[:, -2] > 0
             bias_touched = d_aug[:, -1] > 0
             new_table, table_state = opt_ops.dense_row_update(

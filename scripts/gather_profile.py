@@ -71,22 +71,12 @@ def main():
         oh = jax.nn.one_hot((idx + i) % n, n, dtype=jnp.float32)
         return jnp.dot(oh.T, g, preferred_element_type=jnp.float32)
 
-    from sbr_rs_tpu.ops.pallas_table import gather_rows, scatter_add_rows
-
-    def kernel_gather(_unused, i):
-        return gather_rows(table, (idx + i) % n)
-
-    def kernel_scatter(_unused, i):
-        return scatter_add_rows(g, (idx + i) % n, n)
-
     for name, fn in [
         ("take", take),
         ("take_pad128", take_pad),
         ("onehot", onehot),
         ("scatter", scatter),
         ("onehot_t", onehot_t),
-        ("kernel_gather", kernel_gather),
-        ("kernel_scatter", kernel_scatter),
     ]:
         t = timeit(fn, jnp.zeros((1,)))
         print(f"{name:12s} {t * 1e6:8.0f} us")
