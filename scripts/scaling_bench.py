@@ -5,9 +5,12 @@ real multi-host hardware is not available here, so this records the three
 measurable proxies (methodology included in the artifact):
 
 1. cpu_weak_scaling — examples/s on a virtual CPU mesh at data=1 vs data=8,
-   fixed per-device batch (weak scaling). Virtual devices share one host's
-   cores, so this validates that the SPMD program itself scales (no
-   serialization hot spots), not hardware throughput.
+   fixed per-device batch (weak scaling). Virtual devices SHARE one host's
+   cores, so linear speedup is impossible by construction; the meaningful
+   number is throughput RETENTION — how much total throughput survives
+   8-way SPMD sharding of the same silicon (collective overhead + sharded
+   program inefficiency). Retention near 1.0 means the SPMD program adds
+   no serialization hot spots.
 2. two_process — the same global 8-device workload run as one process vs
    two `jax.distributed` processes (gloo collectives): trajectory parity
    and relative wall-clock. Exercises real cross-process collectives.
@@ -139,7 +142,11 @@ def all_benches(out_path: str) -> None:
     result["cpu_weak_scaling"] = {
         "data1_examples_per_sec": w1["examples_per_sec"],
         "data8_examples_per_sec": w8["examples_per_sec"],
-        "efficiency_vs_linear": w8["examples_per_sec"] / (8 * w1["examples_per_sec"]),
+        # virtual devices share one host's silicon: this is throughput
+        # RETENTION under 8-way SPMD sharding, not a hardware speedup
+        "throughput_retention_8way_sharding": (
+            w8["examples_per_sec"] / w1["examples_per_sec"]
+        ),
     }
 
     sp, sp_wall = _run_multiprocess(1)
