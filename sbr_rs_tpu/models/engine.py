@@ -165,6 +165,7 @@ def make_train_step(
         # scatters as one row, and no catalog-sized buffer is ever built on
         # the step path.
         table = params["item_table"]
+        c_param = table.shape[1]
 
         candidates = jax.random.randint(key, (b, t, k_cand), 0, num_items, dtype=jnp.int32)
 
@@ -175,7 +176,7 @@ def make_train_step(
             # gathers measured 12% slower end-to-end (XLA picks worse
             # layouts for the multi-dim gather output).
             rows = jnp.take(table, idx.reshape(-1), axis=0)
-            return rows.astype(jnp.float32).reshape(idx.shape + (table.shape[1],))
+            return rows.astype(jnp.float32).reshape(idx.shape + (c_param,))
 
         # ONE gather serves inputs and positives: within the stream layout
         # the target of position t IS the input of position t+1, so the
@@ -268,19 +269,13 @@ def make_train_step(
         loss_sum, (d_s, d_neg, d_tower) = jax.value_and_grad(
             scored_loss, argnums=(0, 1, 2)
         )(rows_s, neg_rows, params["tower"])
-        c = table.shape[1]
-        d_rows = jnp.concatenate([d_s.reshape(-1, c), d_neg.reshape(-1, c)])
+        d_rows = jnp.concatenate(
+            [d_s.reshape(-1, c_param), d_neg.reshape(-1, c_param)]
+        )
 
         if config.sparse_updates:
-            dd = opt_ops.dedupe_rows(flat_idx, occ_valid, num_items)
-            summed = opt_ops.segment_sum_grads(d_rows, dd)
-            bias_valid = (
-                jax.ops.segment_max(
-                    bias_occ[dd.order].astype(jnp.int32),
-                    dd.seg_id,
-                    num_segments=dd.order.shape[0],
-                )
-                > 0
+            dd, summed, bias_valid = opt_ops.dedupe_and_sum(
+                flat_idx, occ_valid, d_rows, bias_occ, num_items
             )
             new_table, table_state = opt_ops.sparse_update(
                 kind, lr, l2,

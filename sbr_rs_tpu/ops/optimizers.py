@@ -77,7 +77,7 @@ def dedupe_rows(indices: jnp.ndarray, occurrence_valid: jnp.ndarray, num_rows: i
     s = masked[order]
     starts = jnp.concatenate([jnp.ones((1,), dtype=bool), s[1:] != s[:-1]])
     seg_id = jnp.cumsum(starts) - 1
-    row_ids = jax.ops.segment_max(s, seg_id, num_segments=m)
+    row_ids = jax.ops.segment_max(s, seg_id, num_segments=m, indices_are_sorted=True)
     valid = (row_ids >= 0) & (row_ids < num_rows)
     row_ids = jnp.where(valid, row_ids, num_rows)
     return DedupedRows(order=order, seg_id=seg_id, row_ids=row_ids, valid=valid)
@@ -85,7 +85,103 @@ def dedupe_rows(indices: jnp.ndarray, occurrence_valid: jnp.ndarray, num_rows: i
 
 def segment_sum_grads(row_grads: jnp.ndarray, dd: DedupedRows) -> jnp.ndarray:
     """Sum per-occurrence gradients into per-unique-row gradients ([M, ...])."""
-    return jax.ops.segment_sum(row_grads[dd.order], dd.seg_id, num_segments=dd.order.shape[0])
+    return jax.ops.segment_sum(
+        row_grads[dd.order], dd.seg_id, num_segments=dd.order.shape[0],
+        indices_are_sorted=True,
+    )
+
+
+def _blocked_cumsum(x: jnp.ndarray, block: int = 128) -> jnp.ndarray:
+    """Inclusive cumsum along axis 0 with two-level blocking.
+
+    XLA lowers a plain cumsum along the major axis to a SERIAL per-element
+    loop on TPU (~7 ns/element — 250 us for 33k rows). Splitting into
+    ``block``-sized chunks scans ``block`` elements serially inside each
+    chunk (vectorized across chunks) plus one short scan over chunk totals:
+    serial length drops from N to ``block + N/block``.
+    """
+    m = x.shape[0]
+    nb = -(-m // block)
+    pad = nb * block - m
+    xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    blocks = xp.reshape((nb, block) + x.shape[1:])
+    inner = jnp.cumsum(blocks, axis=1, dtype=x.dtype)
+    offsets = jnp.cumsum(inner[:, -1], axis=0, dtype=x.dtype)
+    offsets = jnp.concatenate([jnp.zeros_like(offsets[:1]), offsets[:-1]])
+    out = inner + offsets[:, None]
+    return out.reshape((nb * block,) + x.shape[1:])[:m]
+
+
+def _blocked_cummax_int(x: jnp.ndarray, block: int = 128) -> jnp.ndarray:
+    """Inclusive cummax along axis 0 for 1-D int arrays, blocked like
+    :func:`_blocked_cumsum`."""
+    m = x.shape[0]
+    nb = -(-m // block)
+    pad = nb * block - m
+    imin = jnp.iinfo(x.dtype).min
+    xp = jnp.pad(x, (0, pad), constant_values=imin)
+    blocks = xp.reshape(nb, block)
+    inner = jax.lax.cummax(blocks, axis=1)
+    offsets = jax.lax.cummax(inner[:, -1], axis=0)
+    offsets = jnp.concatenate([jnp.full((1,), imin, x.dtype), offsets[:-1]])
+    out = jnp.maximum(inner, offsets[:, None])
+    return out.reshape(nb * block)[:m]
+
+
+def dedupe_and_sum(
+    indices: jnp.ndarray,
+    occurrence_valid: jnp.ndarray,
+    row_grads: jnp.ndarray,
+    bias_occ: jnp.ndarray,
+    num_rows: int,
+) -> Tuple[DedupedRows, jnp.ndarray, jnp.ndarray]:
+    """Fused :func:`dedupe_rows` + :func:`segment_sum_grads` + per-row bias
+    validity, built from CUMULATIVE scans instead of segment reductions.
+
+    ``segment_sum``/``segment_max`` lower to serial scatters on TPU
+    (~7-9 ns per element — ~1.9 ms/step of the 10M-item profile); over
+    SORTED occurrences the same results come from a cumsum, a cummax, and
+    one sorted gather, all parallel ops. Each unique row's slot is its
+    LAST occurrence position in the sorted order (occurrence space, not
+    compacted segment space): ``summed[p] = cum[p] - cum[start_of_run - 1]``
+    with the run start found by a scalar cummax over start positions.
+
+    Returns ``(dd, summed, bias_valid)`` shaped like the unfused pipeline
+    (``dd.seg_id`` is not meaningful in this layout and set to zeros).
+    """
+    m = indices.shape[0]
+    masked = jnp.where(occurrence_valid, indices, num_rows)
+    order = jnp.argsort(masked)
+    s = masked[order]
+    gs = row_grads[order]  # [m, C]
+    bs = bias_occ[order].astype(jnp.float32)
+
+    pos = jnp.arange(m, dtype=jnp.int32)
+    starts = jnp.concatenate([jnp.ones((1,), dtype=bool), s[1:] != s[:-1]])
+    ends = jnp.concatenate([s[1:] != s[:-1], jnp.ones((1,), dtype=bool)])
+    # Position of the current run's first occurrence: scalar cummax.
+    start_pos = _blocked_cummax_int(jnp.where(starts, pos, jnp.int32(-1)))
+    prev = start_pos - 1  # last position BEFORE this run (-1: none)
+
+    cum = _blocked_cumsum(gs.astype(jnp.float32))
+    base = jnp.take(
+        cum, jnp.maximum(prev, 0), axis=0, indices_are_sorted=True
+    ) * (prev >= 0).astype(jnp.float32)[:, None]
+    summed = cum - base  # exact run-sum at END positions
+
+    bcum = _blocked_cumsum(bs)
+    bbase = jnp.take(bcum, jnp.maximum(prev, 0), indices_are_sorted=True) * (
+        prev >= 0
+    ).astype(jnp.float32)
+    bias_valid = (bcum - bbase) > 0.0
+
+    live = ends & (s < num_rows)
+    row_ids = jnp.where(live, s, num_rows)
+    return (
+        DedupedRows(order=order, seg_id=jnp.zeros_like(pos), row_ids=row_ids, valid=live),
+        summed,
+        bias_valid,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +332,7 @@ def sparse_update(
     dt = table2.dtype
     valid = dd.valid
     vcol = valid[:, None].astype(jnp.float32)
-    w_rows = jnp.take(table2, dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
+    w_rows = jnp.take(table2, dd.row_ids, axis=0, mode="clip", unique_indices=True, indices_are_sorted=True).astype(jnp.float32)
     if bias_valid is None:
         mcol = vcol
     else:
@@ -251,7 +347,7 @@ def sparse_update(
     g = sg + l2 * w_rows * mcol
 
     if kind == Optimizer.ADAGRAD:
-        acc_rows = jnp.take(state2["acc"], dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
+        acc_rows = jnp.take(state2["acc"], dd.row_ids, axis=0, mode="clip", unique_indices=True, indices_are_sorted=True).astype(jnp.float32)
         acc_new = acc_rows + g * g
         upd = lr * g / jnp.sqrt(acc_new + _ADAGRAD_EPS)
         new_table2 = table2.at[dd.row_ids].add((-upd * mcol).astype(dt), mode="drop")
@@ -260,8 +356,8 @@ def sparse_update(
         )
         new_state2 = {"acc": new_acc}
     else:  # lazy Adam
-        m_rows = jnp.take(state2["m"], dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
-        v_rows = jnp.take(state2["v"], dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
+        m_rows = jnp.take(state2["m"], dd.row_ids, axis=0, mode="clip", unique_indices=True, indices_are_sorted=True).astype(jnp.float32)
+        v_rows = jnp.take(state2["v"], dd.row_ids, axis=0, mode="clip", unique_indices=True, indices_are_sorted=True).astype(jnp.float32)
         m_new = _ADAM_B1 * m_rows + (1.0 - _ADAM_B1) * g
         v_new = _ADAM_B2 * v_rows + (1.0 - _ADAM_B2) * (g * g)
         t = step.astype(jnp.float32) + 1.0

@@ -101,7 +101,8 @@ def test_one_step_matches_numpy_reference(loss, sparse):
     rng = np.random.default_rng(0)
 
     params = init_embedding_params(jax.random.PRNGKey(1), n, d)
-    params["item_table"] = jnp.asarray(rng.normal(size=(n, d + 1)).astype(np.float32))
+    table0 = jnp.asarray(rng.normal(size=(n, d + 1)).astype(np.float32))
+    params["item_table"] = table0
     params["tower"] = {}
 
     cfg = EngineConfig(
@@ -131,9 +132,11 @@ def test_one_step_matches_numpy_reference(loss, sparse):
         jax.random.randint(key, (b, t, k_cand), 0, n, dtype=jnp.int32)
     )
     want_loss, want_table = _numpy_reference_step(
-        np.asarray(params["item_table"]), inputs, targets, mask, candidates,
+        np.asarray(table0), inputs, targets, mask, candidates,
         loss, lr, l2,
     )
+
+    got_table = np.asarray(new_params["item_table"])
 
     np.testing.assert_allclose(float(loss_sum), want_loss, rtol=1e-5)
     # atol: when a row's occurrence gradients nearly cancel (g ~ 1e-5),
@@ -141,6 +144,4 @@ def test_one_step_matches_numpy_reference(loss, sparse):
     # between XLA's scatter order and the numpy loop into ~lr * 1e-2
     # relative update error. Real semantic bugs (wrong occurrence sets, L2,
     # formulas) produce errors orders of magnitude above this bound.
-    np.testing.assert_allclose(
-        np.asarray(new_params["item_table"]), want_table, rtol=2e-4, atol=1e-3
-    )
+    np.testing.assert_allclose(got_table, want_table, rtol=2e-4, atol=1e-3)
