@@ -162,10 +162,39 @@ def ewma_apply(
         coeff = coeff.at[:, 0, :].set(0.0)
         shift = shift.at[:, 0, :].set(x[:, 0, :])
 
-    def combine(left, right):
-        a1, b1 = left
-        a2, b2 = right
-        return (a1 * a2, a2 * b1 + b2)
+    # Two-level BLOCKED affine scan instead of lax.associative_scan: the
+    # tree scan slices the scanned axis at every level, and those strided
+    # slices cost ~18 us each on v5e (the scan was 4x the rest of the
+    # step). Here every operation is an elementwise fused multiply-add on a
+    # contiguous reshape: an unrolled inner scan within blocks of K
+    # timesteps, a short serial compose over block totals, one broadcast
+    # combine. Because the affine map at every window start is (0, x_t),
+    # the composed A from position 0 is identically 0 and the state is just
+    # the composed shift.
+    k = 16
+    nb = -(-t_ // k)
+    pad = nb * k - t_
+    if pad:
+        # identity affine maps on the padding tail
+        coeff = jnp.pad(coeff, ((0, 0), (0, pad), (0, 0)), constant_values=1.0)
+        shift = jnp.pad(shift, ((0, 0), (0, pad), (0, 0)))
+    ab = coeff.reshape(b_, nb, k, d)
+    sb = shift.reshape(b_, nb, k, d)
 
-    _, u = jax.lax.associative_scan(combine, (coeff, shift), axis=1)
-    return u
+    acc_a, acc_s = ab[:, :, 0], sb[:, :, 0]
+    inner_a, inner_s = [acc_a], [acc_s]
+    for j in range(1, k):
+        acc_a, acc_s = acc_a * ab[:, :, j], sb[:, :, j] + ab[:, :, j] * acc_s
+        inner_a.append(acc_a)
+        inner_s.append(acc_s)
+    inner_a = jnp.stack(inner_a, axis=2)  # [B, nb, k, D]
+    inner_s = jnp.stack(inner_s, axis=2)
+
+    # Exclusive compose of block totals: state entering block i.
+    pre = [jnp.zeros((b_, d), coeff.dtype)]
+    for i in range(1, nb):
+        pre.append(acc_a[:, i - 1] * pre[-1] + acc_s[:, i - 1])
+    pre_s = jnp.stack(pre, axis=1)  # [B, nb, D]
+
+    u = inner_s + inner_a * pre_s[:, :, None, :]
+    return u.reshape(b_, nb * k, d)[:, :t_]
