@@ -8,7 +8,11 @@ scripts/scaling_bench.py. The reference's only concurrency test is a
 2-thread fit (``src/models/lstm.rs:474-496``); this is its multi-host
 equivalent.
 
-Usage: python scripts/multiprocess_fit.py NUM_PROCESSES PROCESS_ID PORT
+Usage: python scripts/multiprocess_fit.py NUM_PROCESSES PROCESS_ID PORT [MODEL_AXIS]
+
+MODEL_AXIS > 1 row-shards the item table over the model mesh axis — the
+shape of BASELINE config[4] (sharded-catalog WARP training across hosts):
+table gathers/scatters and the loss psum then cross the process boundary.
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ def main() -> None:
     num_processes = int(sys.argv[1])
     process_id = int(sys.argv[2])
     port = int(sys.argv[3])
+    model_axis = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     devices_per_process = 8 // num_processes
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -46,11 +51,11 @@ def main() -> None:
             process_id=process_id,
         )
         assert jax.process_count() == num_processes
-        mesh = distributed.global_mesh(model=1)
+        mesh = distributed.global_mesh(model=model_axis)
     else:
         from sbr_rs_tpu.parallel import make_mesh
 
-        mesh = make_mesh(data=8, model=1)
+        mesh = make_mesh(data=8 // model_axis, model=model_axis)
 
     import numpy as np
 
@@ -87,6 +92,7 @@ def main() -> None:
                 {
                     "num_processes": num_processes,
                     "global_devices": jax.device_count(),
+                    "model_axis": model_axis,
                     "loss": float(loss),
                     "epoch_losses": losses,
                 }

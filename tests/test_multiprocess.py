@@ -27,7 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run(num_processes: int, timeout: float = 600.0) -> dict:
+def _run(num_processes: int, timeout: float = 600.0, model_axis: int = 1) -> dict:
     port = _free_port()
     env = {
         k: v
@@ -37,7 +37,10 @@ def _run(num_processes: int, timeout: float = 600.0) -> dict:
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, SCRIPT, str(num_processes), str(i), str(port)],
+            [
+                sys.executable, SCRIPT, str(num_processes), str(i), str(port),
+                str(model_axis),
+            ],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             env=env,
@@ -65,4 +68,19 @@ def test_two_process_fit_matches_single_process():
     np.testing.assert_allclose(
         multi["epoch_losses"], single["epoch_losses"], rtol=1e-4,
         err_msg="2-process sharded fit diverged from single-process trajectory",
+    )
+
+
+@pytest.mark.slow
+def test_two_process_row_sharded_table():
+    """BASELINE config[4]'s program shape: the item table row-sharded over
+    the model axis ACROSS the process boundary (WARP gathers/scatters and
+    loss reductions cross processes via gloo collectives), asserted against
+    the single-process trajectory on the same (data=4, model=2) mesh."""
+    single = _run(1, model_axis=2)
+    multi = _run(2, model_axis=2)
+    assert multi["model_axis"] == 2
+    np.testing.assert_allclose(
+        multi["epoch_losses"], single["epoch_losses"], rtol=1e-4,
+        err_msg="2-process row-sharded fit diverged from single-process",
     )
