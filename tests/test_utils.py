@@ -136,3 +136,32 @@ def test_checkpoint_same_shape_stale_config_detected(tmp_path):
     (path / "config.json").write_text(stale_config)
     with pytest.raises(ValueError, match="mismatch"):
         load_model(str(path))
+
+
+def test_distributed_env_passthrough(monkeypatch):
+    """COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars
+    must reach jax.distributed.initialize (previously only the no-op branch
+    was ever executed — VERDICT r1)."""
+    import jax
+
+    from sbr_rs_tpu.parallel import distributed
+
+    seen = {}
+
+    def fake_init(coordinator_address=None, num_processes=None, process_id=None):
+        seen.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "somehost:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "3")
+    distributed.initialize()
+    assert seen == {
+        "coordinator_address": "somehost:1234",
+        "num_processes": 4,
+        "process_id": 3,
+    }
