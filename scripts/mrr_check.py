@@ -33,7 +33,7 @@ _TUNED = {
     "lstm_hinge": (16, 0.13, 0.013, 40, "constant"),
     "lstm_warp": (1, 0.16, 0.01, 40, "cosine"),
     "ewma_hinge": (2, 0.2, 0.004, 40, "cosine"),
-    "ewma_warp": (16, 0.15, 0.005, 40, "cosine"),
+    "ewma_warp": (16, 0.14, 0.006, 40, "cosine"),
 }
 
 

@@ -90,7 +90,7 @@ CONFIGS = {
     # alternative threshold for this test is 0.089 under MKL-AVX; see the
     # module docstring for why this gate is two-tier).
     "ewma_warp": GateConfig(
-        "ewma", Loss.WARP, 16, 0.15, 0.005, 40, "cosine",
+        "ewma", Loss.WARP, 16, 0.14, 0.006, 40, "cosine",
         (42, 7, 123), 0.14, floor=0.12, strict_seed=123,
     ),
 }
