@@ -92,3 +92,53 @@ def test_dense_update_adagrad_first_step_magnitude():
     g = jnp.asarray(np.array([1.0, -2.0, 0.5, 4.0], np.float32))
     new_p, _ = O.dense_update(Optimizer.ADAGRAD, 0.1, 0.0, p, st, g, jnp.asarray(0))
     np.testing.assert_allclose(np.abs(np.asarray(new_p)), 0.1, rtol=1e-3)
+
+
+def test_lr_schedule_scales_updates():
+    """linear/cosine schedules: step 0 equals the constant-lr step, later
+    steps shrink (linear halves lr at the midpoint of total_steps=2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sbr_rs_tpu.models import Loss, Optimizer
+    from sbr_rs_tpu.models.engine import (
+        EngineConfig,
+        init_embedding_params,
+        init_opt_state,
+        make_train_step,
+    )
+
+    n, d, b, t = 12, 4, 2, 3
+    params = init_embedding_params(jax.random.PRNGKey(0), n, d)
+    params["tower"] = {}
+    rng = np.random.default_rng(0)
+    batch = {
+        "stream": jnp.asarray(rng.integers(0, n, (b, t + 1)), jnp.int32),
+        "mask": jnp.ones((b, t), jnp.float32),
+    }
+    key = jax.random.PRNGKey(3)
+
+    def two_steps(schedule):
+        cfg = EngineConfig(
+            num_items=n, loss=Loss.HINGE, optimizer=Optimizer.ADAGRAD,
+            learning_rate=0.5, l2_penalty=0.0, sparse_updates=False,
+            lr_schedule=schedule,
+        )
+        step = make_train_step(cfg, lambda p, x, starts=None: x, total_steps=2)
+        p, s = params, init_opt_state(Optimizer.ADAGRAD, params)
+        tables = []
+        for _ in range(2):
+            p, s, _ = step(p, s, key, batch)
+            tables.append(np.asarray(p["item_table"]))
+        return tables
+
+    const = two_steps("constant")
+    linear = two_steps("linear")
+    t0 = np.asarray(params["item_table"])
+    # step 0: full lr either way
+    np.testing.assert_allclose(const[0], linear[0], atol=1e-7)
+    # step 1: linear runs at lr/2 — strictly smaller movement
+    d_const = np.abs(const[1] - const[0]).sum()
+    d_linear = np.abs(linear[1] - linear[0]).sum()
+    assert 0 < d_linear < d_const
+    assert np.abs(const[0] - t0).sum() > 0  # something actually moved
