@@ -78,7 +78,7 @@ def main() -> None:
         .build()
     )
     init_s = time.perf_counter() - t0
-    print(f"init (100M x 128 bf16 sharded table): {init_s:.0f}s", flush=True)
+    print(f"init (100M x 32 f32 sharded table): {init_s:.0f}s", flush=True)
 
     t0 = time.perf_counter()
     loss = model.fit(inter)
