@@ -213,6 +213,10 @@ def make_train_step(
             haug0 = jnp.concatenate([hidden0, jnp.ones((b, t, 1), hidden0.dtype)], -1)
             pos_score0 = jnp.einsum("bte,bte->bt", haug0, pos_rows0)
             cand_rows = jax.lax.stop_gradient(gather(candidates))
+            # The candidate-score reduce is bandwidth-bound at ~50 us/step
+            # (B=256) in ANY formulation: a fused Pallas reduce ran the dot
+            # itself 2x faster but re-materialized the [B,T,K,C] operand at
+            # its interface for the same total — measured, then deleted.
             cand_score = jnp.einsum("bte,btke->btk", haug0, cand_rows)
             # Arithmetic one-hot selection: take_along_axis lowers to a
             # per-element gather that costs ~8 us per 1k elements on TPU
