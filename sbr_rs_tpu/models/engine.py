@@ -25,8 +25,8 @@ a whole ``[B, T]`` padded batch of windows is one XLA-compiled step:
    ``src/models/lstm.rs:322-328``);
 5. the item table updates via one fused-row strategy
    (:mod:`sbr_rs_tpu.ops.optimizers`): dense scatter-add + touched-row
-   update for small catalogs, sort/segment sparse updates for huge ones;
-   dense updates handle tower params.
+   update for small catalogs; sort + blocked-scan dedupe + unique-row
+   scatter for huge ones; dense updates handle tower params.
 
 Loss accounting matches the reference: the engine accumulates the summed
 pre-update loss and the number of supervised timesteps ("examples",
