@@ -180,6 +180,12 @@ class Interactions:
             int(self.user_ids[idx]), int(self.item_ids[idx]), int(self.timestamps[idx])
         )
 
+    def data(self) -> List[Interaction]:
+        """All events as a list (reference ``data()``, ``src/data.rs:113``).
+        Columnar access (``user_ids``/``item_ids``/``timestamps``) is the
+        fast path; this materializes per-event objects."""
+        return list(self)
+
     @property
     def shape(self) -> Tuple[int, int]:
         return (self.num_users, self.num_items)

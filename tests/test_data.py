@@ -236,3 +236,9 @@ def test_container_load_wrong_kind_raises(tmp_path):
     inter.save(str(p))
     with pytest.raises(ValueError, match="interactions"):
         D.CompressedInteractions.load(str(p))
+
+
+def test_interactions_data_returns_events():
+    inter = D.Interactions.from_arrays([1, 0], [2, 3], [10, 20], 2, 4)
+    events = inter.data()
+    assert events == [D.Interaction(1, 2, 10), D.Interaction(0, 3, 20)]
