@@ -158,7 +158,6 @@ def make_train_step(
         starts = batch.get("starts")  # packed layout: window-reset positions
         b = stream.shape[0]
         t = stream.shape[1] - 1
-        bt = b * t
 
         # The fused table IS the parameter (embedding columns + bias column,
         # init_embedding_params): each item's embedding+bias gathers and

@@ -163,11 +163,15 @@ def dedupe_and_sum(
     start_pos = _blocked_cummax_int(jnp.where(starts, pos, jnp.int32(-1)))
     prev = start_pos - 1  # last position BEFORE this run (-1: none)
 
+    # Run sums as cumsum DIFFERENCES: parallel, at the cost of per-run
+    # exactness — a run's sum inherits rounding from the prefix before it
+    # (~ulp(prefix magnitude) per entry, the same class as scatter-order
+    # association noise; the golden engine test bounds it).
     cum = _blocked_cumsum(gs.astype(jnp.float32))
     base = jnp.take(
         cum, jnp.maximum(prev, 0), axis=0, indices_are_sorted=True
     ) * (prev >= 0).astype(jnp.float32)[:, None]
-    summed = cum - base  # exact run-sum at END positions
+    summed = cum - base  # run-sum at END positions
 
     bcum = _blocked_cumsum(bs)
     bbase = jnp.take(bcum, jnp.maximum(prev, 0), indices_are_sorted=True) * (
