@@ -675,6 +675,69 @@ class ImplicitSequenceModel:
         top = np.argpartition(-scores, k - 1)[:k]
         return top[np.argsort(-scores[top])].tolist()
 
+    # One compiled batched top-k scorer per (tower config, k) — shared
+    # across instances like the rep fns (hyperopt builds hundreds).
+    _TOPK_FN_CACHE: Dict = {}
+
+    def _build_topk_fn(self, k: int):
+        key = (self._rep_fn_cache_key(), k)
+        cached = self._TOPK_FN_CACHE.get(key)
+        if cached is not None:
+            return cached
+
+        def topk_fn(params, reps, seen, seen_valid):
+            # [U, D] @ [D, N] catalog scores + bias, seen items masked on
+            # device, then a device top-k — the [U, N] score matrix never
+            # reaches the host.
+            table = params["item_table"].astype(jnp.float32)
+            scores = reps @ table[:, :-1].T + table[:, -1]
+            u = reps.shape[0]
+            rows = jnp.arange(u)[:, None]
+            col = jnp.where(seen_valid, seen, table.shape[0])
+            scores = scores.at[rows, col].set(-jnp.inf, mode="drop")
+            return jax.lax.top_k(scores, k)
+
+        fn = jax.jit(topk_fn)
+        self._TOPK_FN_CACHE[key] = fn
+        return fn
+
+    def recommend_batch(
+        self,
+        histories: Sequence[Sequence[int]],
+        k: int = 10,
+        exclude_seen: bool = True,
+    ) -> List[List[int]]:
+        """Batched :meth:`recommend`: top-``k`` next items for MANY
+        histories in one device program — representations, full-catalog
+        scoring, seen-item masking, and the top-k all run on device (the
+        serving path a production ranker needs; the reference scores one
+        user and one dot product at a time)."""
+        if not histories:
+            return []
+        t = self.hyper._max_sequence_length
+        u = len(histories)
+        reps = self._representations(histories)
+
+        max_seen = max((len(h) for h in histories), default=1) if exclude_seen else 1
+        max_seen = max(max_seen, 1)
+        seen = np.zeros((u, max_seen), dtype=np.int32)
+        seen_valid = np.zeros((u, max_seen), dtype=bool)
+        if exclude_seen:
+            for i, h in enumerate(histories):
+                h = list(h)
+                seen[i, : len(h)] = h
+                seen_valid[i, : len(h)] = True
+
+        k = min(k, self.hyper._num_items)
+        topk_fn = self._build_topk_fn(k)
+        _, idx = topk_fn(
+            self._params,
+            jnp.asarray(reps.astype(np.float32)),
+            jnp.asarray(seen),
+            jnp.asarray(seen_valid),
+        )
+        return np.asarray(idx).tolist()
+
     def predict(self, user: ImplicitUser, item_ids: "Sequence[int] | None" = None) -> np.ndarray:
         """Score ``item_ids`` for the user: ``dot(user, emb) + bias``
         (``src/models/lstm.rs:338-350``); ``None`` scores the full catalog.

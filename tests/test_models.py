@@ -343,3 +343,23 @@ def test_out_of_range_item_ids_raise():
         model.user_representation([inter.num_items + 5])
     with pytest.raises(sbr.PredictionError):
         model.recommend([inter.num_items + 5], k=3)
+
+
+def test_recommend_batch_matches_single():
+    """recommend_batch == per-user recommend for every user (device top-k
+    vs host argpartition; same scores, same exclusions)."""
+    inter = _toy_interactions(num_users=30, num_items=40).to_compressed()
+    model = (
+        lstm.Hyperparameters(40, 8).embedding_dim(16).num_epochs(2)
+        .batch_size(16).from_seed(3).build()
+    )
+    model.fit(inter)
+    histories = [[1, 2, 3], [4, 5], [], [7, 8, 9, 10, 2]]
+    batch = model.recommend_batch(histories, k=5)
+    for h, got in zip(histories, batch):
+        want = model.recommend(h, k=5)
+        assert got == want, (h, got, want)
+    # exclude_seen=False variant also agrees
+    batch2 = model.recommend_batch(histories, k=5, exclude_seen=False)
+    for h, got in zip(histories, batch2):
+        assert got == model.recommend(h, k=5, exclude_seen=False)
