@@ -9,14 +9,19 @@ backend) three ops over a [N, 128] f32 table with M unique sorted indices:
   pl_rmw       — pallas pipeline read-modify-write: table[idx[i]] += g[i],
                  aliased output              (XLA scatter baseline ~70 ns/row)
 
-STATUS (round 2): Mosaic rejects (1, C) blocks — the last two block dims
-must be divisible by (8, 128) — so a row-granular pipeline must fetch
-8-row blocks (8x read amplification, ~4 KB per touched row) and merge
-same-block updates before writing (two sorted-unique indices can share an
-8-row block; the pipeline prefetch would read stale data past an
-unmerged write). Even so, 33k x 8 KB ~ 270 MB ~ 330 us of streamed
-traffic beats XLA's ~2.3 ms serial scatter IF the merge is cheap — a
-block-run merge over sorted indices is the round-3 design to try.
+STATUS (round 2, MEASURED — two strikes):
+1. Mosaic rejects (1, C) blocks (last two block dims must divide (8, 128)),
+   so a row pipeline fetches 8-row blocks: 8x read amplification and a
+   same-block write-hazard needing a block-run merge.
+2. An 8-row-block pipelined GATHER probe measured ~40 ns PER GRID STEP of
+   Mosaic overhead (1.3 ms for 33k steps) vs ~4-8 ns/row for XLA's own
+   gather — one-index-per-grid-step kernels lose by 5-10x before the RMW
+   even starts. A viable kernel must process MANY indices per grid step
+   via manual per-row DMAs, which pays per-descriptor costs instead
+   (~4 DMAs/row for a table+accumulator RMW). Both routes project at or
+   above XLA's ~70 ns/row scatter: this optimization is parked as
+   NOT VIABLE with current Mosaic unless a batched-descriptor DMA
+   primitive appears.
 
 Usage: python scripts/row_pipeline_probe.py [N] [M]
 """
