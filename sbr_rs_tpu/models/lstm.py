@@ -80,11 +80,17 @@ class ImplicitLSTMModel(base.ImplicitSequenceModel):
     (reference ``src/models/lstm.rs:385-416``)."""
 
     def _rep_fn_cache_key(self):
+        # Both flags matter: _pallas_enabled picks the SERVING tower, while
+        # _pallas_requested picks the TRAINING tower under a mesh
+        # (_train_tower_fn). The fit-program shape key includes this tuple,
+        # so toggling SBR_PALLAS_LSTM between fits recompiles instead of
+        # silently reusing a program built with the other tower (ADVICE r2).
         return (
             type(self).__name__,
             self.hyper._item_embedding_dim,
             self.hyper._lstm_variant,
             self._pallas_enabled(),
+            self._pallas_requested(),
         )
 
     def _pallas_requested(self) -> bool:

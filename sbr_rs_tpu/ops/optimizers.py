@@ -336,7 +336,13 @@ def sparse_update(
     dt = table2.dtype
     valid = dd.valid
     vcol = valid[:, None].astype(jnp.float32)
-    w_rows = jnp.take(table2, dd.row_ids, axis=0, mode="clip", unique_indices=True, indices_are_sorted=True).astype(jnp.float32)
+    # NOTE: no unique_indices/indices_are_sorted hints on these gathers.
+    # dedupe_and_sum's fused layout interleaves the num_rows sentinel at
+    # every non-run-end position (e.g. [N, 2, N, 5]), so row_ids are
+    # neither sorted nor unique — asserting the hints is implementation-
+    # defined in XLA and steers the SPMD partitioner's gather strategy on
+    # sharded tables (ADVICE r2, medium).
+    w_rows = jnp.take(table2, dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
     if bias_valid is None:
         mcol = vcol
     else:
@@ -351,7 +357,7 @@ def sparse_update(
     g = sg + l2 * w_rows * mcol
 
     if kind == Optimizer.ADAGRAD:
-        acc_rows = jnp.take(state2["acc"], dd.row_ids, axis=0, mode="clip", unique_indices=True, indices_are_sorted=True).astype(jnp.float32)
+        acc_rows = jnp.take(state2["acc"], dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
         acc_new = acc_rows + g * g
         upd = lr * g / jnp.sqrt(acc_new + _ADAGRAD_EPS)
         new_table2 = table2.at[dd.row_ids].add((-upd * mcol).astype(dt), mode="drop")
@@ -360,8 +366,8 @@ def sparse_update(
         )
         new_state2 = {"acc": new_acc}
     else:  # lazy Adam
-        m_rows = jnp.take(state2["m"], dd.row_ids, axis=0, mode="clip", unique_indices=True, indices_are_sorted=True).astype(jnp.float32)
-        v_rows = jnp.take(state2["v"], dd.row_ids, axis=0, mode="clip", unique_indices=True, indices_are_sorted=True).astype(jnp.float32)
+        m_rows = jnp.take(state2["m"], dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
+        v_rows = jnp.take(state2["v"], dd.row_ids, axis=0, mode="clip").astype(jnp.float32)
         m_new = _ADAM_B1 * m_rows + (1.0 - _ADAM_B1) * g
         v_new = _ADAM_B2 * v_rows + (1.0 - _ADAM_B2) * (g * g)
         t = step.astype(jnp.float32) + 1.0

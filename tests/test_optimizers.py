@@ -85,6 +85,46 @@ def test_dedupe_rows_basic():
     assert np.all(rows[~v] == 10)
 
 
+def test_dedupe_and_sum_matches_float64_segment_sums():
+    """dedupe_and_sum's cumsum-difference run sums must stay TIGHTLY close
+    (~1e-6) to exact float64 per-row segment sums — the golden engine test's
+    loose end-to-end tolerance (1e-3) does not bound association error on
+    its own (ADVICE r2). Large occurrence counts with duplicates exercise
+    the blocked-cumsum prefix rounding this is about."""
+    rng = np.random.default_rng(7)
+    num_rows = 50
+    m = 1000  # several cumsum blocks
+    idx = rng.integers(0, num_rows, m).astype(np.int32)
+    valid = rng.random(m) < 0.9
+    grads = rng.normal(size=(m, 5)).astype(np.float32)
+    bias_occ = rng.random(m) < 0.5
+
+    dd, summed, bias_valid = O.dedupe_and_sum(
+        jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(grads),
+        jnp.asarray(bias_occ), num_rows,
+    )
+    rows = np.asarray(dd.row_ids)
+    live = np.asarray(dd.valid)
+    summed = np.asarray(summed)
+    bias_valid_np = np.asarray(bias_valid)
+
+    # exact float64 reference per row
+    exp = {}
+    exp_bias = {}
+    for i in range(m):
+        if valid[i]:
+            r = int(idx[i])
+            exp[r] = exp.get(r, np.zeros(5, np.float64)) + grads[i].astype(np.float64)
+            exp_bias[r] = exp_bias.get(r, False) or bool(bias_occ[i])
+
+    got_rows = sorted(rows[live].tolist())
+    assert got_rows == sorted(exp.keys())
+    for p in np.flatnonzero(live):
+        r = int(rows[p])
+        np.testing.assert_allclose(summed[p], exp[r], atol=2e-6, rtol=1e-5)
+        assert bool(bias_valid_np[p]) == exp_bias[r]
+
+
 def test_dense_update_adagrad_first_step_magnitude():
     """With zero accumulator, the first Adagrad step is ~lr per coordinate."""
     p = jnp.asarray(np.zeros(4, np.float32))

@@ -165,3 +165,28 @@ def test_distributed_env_passthrough(monkeypatch):
         "num_processes": 4,
         "process_id": 3,
     }
+
+
+def test_program_caches_are_lru_bounded():
+    """The process-wide compiled-program caches must evict (VERDICT r2 item
+    10): a hyperopt run over random shapes would otherwise accumulate
+    compiled programs without bound."""
+    from sbr_rs_tpu.models.base import ImplicitSequenceModel, _LruCache
+
+    cache = _LruCache(3)
+    for i in range(5):
+        cache[i] = i * 10
+    assert len(cache) == 3
+    assert cache.get(0) is None and cache.get(1) is None
+    assert cache.get(4) == 40
+    # get() refreshes recency: touching 2 keeps it over 3
+    cache.get(2)
+    cache[5] = 50
+    assert cache.get(2) == 20 and cache.get(3) is None
+
+    for c in (
+        ImplicitSequenceModel._FIT_FN_CACHE,
+        ImplicitSequenceModel._REP_FN_CACHE,
+        ImplicitSequenceModel._TOPK_FN_CACHE,
+    ):
+        assert isinstance(c, _LruCache)
