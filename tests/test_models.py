@@ -363,3 +363,74 @@ def test_recommend_batch_matches_single():
     batch2 = model.recommend_batch(histories, k=5, exclude_seen=False)
     for h, got in zip(histories, batch2):
         assert got == model.recommend(h, k=5, exclude_seen=False)
+
+def test_recommend_batch_chunked_matches_dense(monkeypatch):
+    """The streamed chunked top-k (catalog slabs + running merge) must equal
+    a dense full-catalog argsort, including the final chunk's overlap
+    handling (num_items NOT divisible by the chunk) and seen-item masking
+    across chunk boundaries (VERDICT r2 item 2)."""
+    from sbr_rs_tpu.models.base import ImplicitSequenceModel
+
+    num_items = 37  # 5 chunks of 8 with a 3-column overlap in the last
+    inter = _toy_interactions(num_users=20, num_items=num_items).to_compressed()
+    model = (
+        lstm.Hyperparameters(num_items, 8).embedding_dim(16).num_epochs(2)
+        .batch_size(16).from_seed(5).build()
+    )
+    model.fit(inter)
+    monkeypatch.setattr(ImplicitSequenceModel, "_SERVE_ITEM_CHUNK", 8)
+    ImplicitSequenceModel._TOPK_FN_CACHE.clear()  # drop dense-traced programs
+    try:
+        histories = [[1, 2, 3], [30, 35, 36], [], list(range(0, 37, 3))]
+        got = model.recommend_batch(histories, k=6)
+        for h, g in zip(histories, got):
+            rep = model.user_representation(h)
+            scores = np.array(model.predict(rep))
+            if h:
+                scores[np.asarray(h)] = -np.inf
+            want = list(np.argsort(-scores, kind="stable")[:6])
+            assert g == want, (h, g, want)
+            assert not set(g) & set(h)
+            assert len(set(g)) == 6  # overlap columns must not duplicate items
+    finally:
+        ImplicitSequenceModel._TOPK_FN_CACHE.clear()
+
+def test_recommend_batch_bigseen_and_approx_paths(monkeypatch):
+    """The wide-seen fallback (S > _SERVE_MAX_POSTFILTER_SEEN: per-chunk
+    scatter masking + full merge) must equal the dense reference; the
+    approximate path must return valid unseen items with exact scores'
+    ordering within its candidate set."""
+    from sbr_rs_tpu.models.base import ImplicitSequenceModel
+
+    num_items = 50
+    inter = _toy_interactions(num_users=20, num_items=num_items).to_compressed()
+    model = (
+        lstm.Hyperparameters(num_items, 8).embedding_dim(16).num_epochs(2)
+        .batch_size(16).from_seed(9).build()
+    )
+    model.fit(inter)
+    monkeypatch.setattr(ImplicitSequenceModel, "_SERVE_ITEM_CHUNK", 8)
+    monkeypatch.setattr(ImplicitSequenceModel, "_SERVE_MAX_POSTFILTER_SEEN", 4)
+    ImplicitSequenceModel._TOPK_FN_CACHE.clear()
+    try:
+        # histories longer than the post-filter threshold force the
+        # big-seen path
+        histories = [list(range(0, 20)), list(range(5, 17)), [1, 2, 3, 4, 5, 6]]
+        got = model.recommend_batch(histories, k=5)
+        for h, g in zip(histories, got):
+            rep = model.user_representation(h)
+            scores = np.array(model.predict(rep))
+            scores[np.asarray(h)] = -np.inf
+            want = list(np.argsort(-scores, kind="stable")[:5])
+            assert g == want, (h, g, want)
+
+        # approximate path (short seen lists): all returned items are real,
+        # unseen, and distinct
+        short = [[1, 2], [10, 11, 12]]
+        approx = model.recommend_batch(short, k=5, approximate=True)
+        for h, g in zip(short, approx):
+            assert len(g) == 5 and len(set(g)) == 5
+            assert all(0 <= i < num_items for i in g)
+            assert not set(g) & set(h)
+    finally:
+        ImplicitSequenceModel._TOPK_FN_CACHE.clear()
