@@ -24,7 +24,12 @@ JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
     python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 if [[ "${1:-}" == "--tpu" ]]; then
-    echo "== ML-100K MRR bars (real TPU)"
+    echo "== shard_map+Pallas on the REAL chip (data=1, model=1 mesh):"
+    echo "   compiles the Mosaic LSTM kernel under shard_map for real"
+    echo "   instead of interpret mode (VERDICT r2 item 6)"
+    python scripts/tpu_mesh_pallas_fit.py
+
+    echo "== ML-100K MRR bars (real TPU; includes the mesh-run 2-thread bar)"
     SBR_RUN_INTEGRATION=1 SBR_TEST_PLATFORM=axon \
         python -m pytest tests/test_integration_ml100k.py -s -q
 
