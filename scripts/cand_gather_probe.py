@@ -1,34 +1,58 @@
-"""Measure: can a Pallas kernel own the WARP candidate gather+score block?
+"""MEASURED KILL: a Pallas kernel cannot own the WARP candidate gather+score.
 
-VERDICT r2 item 4: the headline step's candidate block — gather 62 us +
-score einsum 55 us + selection/layout inside the ~100 us misc tail — is
-~40% of the 417 us step. The round-2 fused-reduce attempt was net-zero
-because it did not own the GATHER; this probe measures the kernel that
-does: candidate rows are fetched inside the kernel and reduced against the
-augmented hidden state in place, so the [B, T, K, C] candidate block never
-round-trips HBM.
+VERDICT r2 item 4 asked for one Pallas kernel owning the candidate
+gather+score block (gather 62 us + einsum 55 us of the 417 us headline
+step), or a measured kill note. This is the kill note's instrument.
 
-Variants measured against the XLA baseline (gather + einsum):
+Results (one v5e, headline shapes B=256, T=32, K=5 -> 40,960 scattered
+row reads/step; physical layout [*, 128] lanes, catalog 1688 rows; timing
+inside ONE compiled program, 100-iteration lax.scan threading a real
+dependency — per-dispatch tunnel RTT would otherwise swamp the kernels):
 
-1. ``xla_baseline``  — jnp.take + einsum("bte,btke->btk") (the shipped path).
-2. ``pallas_vmem_table`` — the whole fused table resident in VMEM (fits
-   for ML-100K-scale catalogs: 1683 rows x 128 lanes x 4 B = 862 KB of
-   ~16 MB), grid over position tiles, in-kernel fori_loop doing dynamic
-   row reads + dot per candidate.
-3. ``pallas_grid_row`` — one candidate row per grid step via scalar-
-   prefetched indices (the BlockSpec index_map fetches table[id] as the
-   step's block), dot in kernel. Mosaic's ~40 ns/grid-step overhead
-   (scripts/row_pipeline_probe.py) predicts ~1.6 ms for 41k rows.
+| variant                                            | us/iter | vs XLA |
+|----------------------------------------------------|---------|--------|
+| XLA take + einsum (the shipped path)               |     387 |   1.0x |
+| Pallas, table VMEM-resident, dynamic row reads     |    1382 |   3.6x |
+|   + 8-position unroll (amortize fori_loop)         |     506 |   1.3x |
+| Pallas, per-row DMAs HBM->VMEM (16 sems, batched)  |    4817 |  12.4x |
 
-Shapes mirror the headline bench step: B=256, T=32, K=5, catalog 1683,
-fused row C=33 (dim 32 + bias).
+Why each loses (extends scripts/row_pipeline_probe.py's scatter findings
+to gathers):
 
-Usage: python scripts/cand_gather_probe.py  (on the TPU backend)
+* BlockSpec-indexed fetches cannot express scattered rows at all: Mosaic
+  requires the second-minor block dim divisible by 8, so a (1, C) "one
+  table row per grid step" block is rejected outright.
+* In-kernel dynamic VMEM reads (``table_ref[idx, :]``) cost ~34 ns/row
+  inside a fori_loop and ~12 ns/row fully unrolled x8 — the dynamic
+  sublane-addressing + loop-carry overhead dwarfs XLA's native gather at
+  ~1.5 ns/row (the hardware serial row-copy floor, ARCHITECTURE.md
+  "Row-traffic roofline"). Even with the score reduction fused in free,
+  the kernel is 1.3x slower than gather + einsum SEPARATELY.
+* Per-row DMAs pay ~118 ns/row of issue+semaphore cost — 80x the row
+  copy itself. (Same order as Mosaic's ~40 ns/grid-step overhead.)
+
+Mosaic lowering facts hit on the way (kept for future kernel work):
+* jnp.stack of scalars / ``acc.at[k].set`` inside a kernel lower to
+  ``scatter`` — unimplemented; build small vectors with
+  ``jnp.concatenate([x.reshape(1, 1), ...])`` instead.
+* Scalar-prefetch operands live in SMEM: a [8192, 5] int32 index array
+  (160 KB) CRASHES the compiler (opaque HTTP 500 from the compile
+  helper); pass per-tile index blocks via
+  ``pl.BlockSpec(..., memory_space=pltpu.SMEM)`` instead.
+* Unaligned VMEM blocks ((1683, 33)) also crash outright — pad to
+  (8k, 128) tiles first.
+
+Conclusion: on TPU, scattered row access is only fast through XLA's own
+gather machinery; kernels win by REMOVING row traffic (layout, selection
+rules), not by re-implementing it. The shipped engine already minimizes
+rows (STREAM layout, stop_gradient candidates, one-hot selection).
+
+Usage: python scripts/cand_gather_probe.py  (TPU backend; reproduces the
+table above)
 """
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time
@@ -42,9 +66,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 B, T, K = 256, 32, 5
-N, C = 1683, 33  # ML-100K catalog, dim 32 + bias column
+N, C = 1688, 128  # physical tile-aligned layout (logical: 1683 x 33)
 BT = B * T
-POS_TILE = 256  # positions per grid step for the VMEM-table kernel
+POS_TILE = 128
+ITERS = 100
+UNROLL = 8
 
 
 def xla_baseline(table, haug, cand):
@@ -52,84 +78,121 @@ def xla_baseline(table, haug, cand):
     return jnp.einsum("pe,pke->pk", haug, rows)
 
 
-# -- variant 2: VMEM-resident table, in-kernel dynamic row reads ------------
-
-
 def _vmem_kernel(cand_ref, table_ref, haug_ref, out_ref):
-    # table_ref: [N, C] VMEM (whole catalog); haug_ref: [POS_TILE, C];
-    # cand_ref: [POS_TILE, K] int32 (VMEM); out: [POS_TILE, K].
     def body(p, _):
-        h = haug_ref[p, :]  # [C]
+        h = haug_ref[p, :]
+        parts = []
         for k in range(K):
-            row = table_ref[cand_ref[p, k], :]  # dynamic row read
-            out_ref[p, k] = jnp.sum(h * row)
+            idx = cand_ref[p, k]
+            parts.append(jnp.sum(h * table_ref[idx, :]).reshape(1, 1))
+        out_ref[pl.ds(p, 1), :] = jnp.concatenate(parts, axis=1)
         return _
 
     jax.lax.fori_loop(0, POS_TILE, body, 0)
 
 
-def pallas_vmem_table(table, haug, cand):
-    grid = (BT // POS_TILE,)
+def _vmem_kernel_unroll(cand_ref, table_ref, haug_ref, out_ref):
+    def body(q, _):
+        outs = []
+        for u in range(UNROLL):
+            p = q * UNROLL + u
+            h = haug_ref[p, :]
+            parts = []
+            for k in range(K):
+                idx = cand_ref[p, k]
+                parts.append(jnp.sum(h * table_ref[idx, :]).reshape(1, 1))
+            outs.append(jnp.concatenate(parts, axis=1))
+        out_ref[pl.ds(q * UNROLL, UNROLL), :] = jnp.concatenate(outs, axis=0)
+        return _
+
+    jax.lax.fori_loop(0, POS_TILE // UNROLL, body, 0)
+
+
+def _make_vmem(kernel):
+    def run(table, haug, cand):
+        return pl.pallas_call(
+            kernel,
+            grid=(BT // POS_TILE,),
+            in_specs=[
+                pl.BlockSpec(
+                    (POS_TILE, K), lambda i: (i, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec((N, C), lambda i: (0, 0)),
+                pl.BlockSpec((POS_TILE, C), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((POS_TILE, K), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BT, K), jnp.float32),
+        )(cand, table, haug)
+
+    return run
+
+
+def _dma_kernel(cand_ref, table_hbm, haug_ref, out_ref, rows_scratch, sems):
+    def issue(j, _):
+        p, k = j // K, j % K
+        idx = cand_ref[p, k]
+        pltpu.make_async_copy(
+            table_hbm.at[pl.ds(idx, 1), :],
+            rows_scratch.at[pl.ds(j, 1), :],
+            sems.at[j % 16],
+        ).start()
+        return _
+
+    jax.lax.fori_loop(0, POS_TILE * K, issue, 0)
+
+    def wait(j, _):
+        pltpu.make_async_copy(
+            table_hbm.at[pl.ds(0, 1), :],
+            rows_scratch.at[pl.ds(j, 1), :],
+            sems.at[j % 16],
+        ).wait()
+        return _
+
+    jax.lax.fori_loop(0, POS_TILE * K, wait, 0)
+    rows = rows_scratch[:].reshape(POS_TILE, K, C)
+    out_ref[:] = jnp.sum(rows * haug_ref[:].reshape(POS_TILE, 1, C), axis=2)
+
+
+def pallas_dma_rows(table, haug, cand):
     return pl.pallas_call(
-        _vmem_kernel,
-        grid=grid,
+        _dma_kernel,
+        grid=(BT // POS_TILE,),
         in_specs=[
-            pl.BlockSpec((POS_TILE, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((POS_TILE, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((POS_TILE, K), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((POS_TILE, C), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((POS_TILE, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((POS_TILE, K), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((BT, K), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((POS_TILE * K, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((16,)),
+        ],
     )(cand, table, haug)
 
 
-# -- variant 3: one gathered row per grid step via scalar prefetch ----------
+def bench(name, fn, table, haug, cand, iters=ITERS):
+    def many(table, haug, cand):
+        def step(h, _):
+            out = fn(table, h, cand)
+            h = h + out[:, :1] * 1e-30  # real dependency: no hoist/DCE
+            return h, jnp.sum(out)
 
+        h, sums = jax.lax.scan(step, haug, None, length=iters)
+        return jnp.sum(sums) + jnp.sum(h)
 
-def _grid_row_kernel(cand_flat_ref, table_row_ref, haug_ref, out_ref):
-    # table_row_ref: [1, C] — the candidate row selected by index_map.
-    i = pl.program_id(0)
-    p = i // K
-    out_ref[0, 0] = jnp.sum(haug_ref[0, :] * table_row_ref[0, :])
-    del p
-
-
-def pallas_grid_row(table, haug, cand):
-    cand_flat = cand.reshape(-1)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(BT * K,),
-        in_specs=[
-            pl.BlockSpec((1, C), lambda i, cf: (cf[i], 0)),
-            pl.BlockSpec((1, C), lambda i, cf: (i // K, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, cf: (i, 0)),
-    )
-    return pl.pallas_call(
-        _grid_row_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BT * K, 1), jnp.float32),
-    )(cand_flat, table, haug).reshape(BT, K)
-
-
-def bench(name, fn, *args, iters=20):
-    f = jax.jit(fn)
+    f = jax.jit(many)
     try:
-        r = f(*args)
-        np.asarray(r)
+        float(f(table, haug, cand))
     except Exception as e:  # pragma: no cover - probe tool
         print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}")
-        return None
+        return
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            r = f(*args)
-        np.asarray(r)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    print(f"{name}: {best*1e6:.1f} us/call")
-    return best
+        float(f(table, haug, cand))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name}: {best/iters*1e6:.1f} us/iter")
 
 
 def main():
@@ -138,20 +201,22 @@ def main():
     haug = jax.random.normal(key, (BT, C), jnp.float32)
     cand = jax.random.randint(key, (BT, K), 0, N, jnp.int32)
 
-    base = bench("xla_baseline (take + einsum)", xla_baseline, table, haug, cand)
-    v2 = bench("pallas_vmem_table", pallas_vmem_table, table, haug, cand)
-    v3 = bench("pallas_grid_row", pallas_grid_row, table, haug, cand)
-
-    # correctness spot-check for whichever kernels ran
     want = np.asarray(xla_baseline(table, haug, cand))
-    for name, fn in [("vmem", pallas_vmem_table), ("grid", pallas_grid_row)]:
+    variants = [
+        ("pallas_vmem_table", _make_vmem(_vmem_kernel), ITERS),
+        ("pallas_vmem_unroll8", _make_vmem(_vmem_kernel_unroll), ITERS),
+        ("pallas_dma_rows", pallas_dma_rows, 10),
+    ]
+    for name, fn, _ in variants:
         try:
             got = np.asarray(jax.jit(fn)(table, haug, cand))
-            err = np.abs(got - want).max()
-            print(f"{name} max err vs baseline: {err:.2e}")
-        except Exception:
-            pass
-    del base, v2, v3
+            print(f"{name} max err vs baseline: {np.abs(got - want).max():.2e}")
+        except Exception as e:
+            print(f"{name}: BUILD FAILED {type(e).__name__}: {str(e)[:200]}")
+
+    bench("xla_baseline (take + einsum)", xla_baseline, table, haug, cand)
+    for name, fn, iters in variants:
+        bench(name, fn, table, haug, cand, iters=iters)
 
 
 if __name__ == "__main__":
