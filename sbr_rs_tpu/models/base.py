@@ -67,6 +67,7 @@ class Hyperparameters:
         self._packed = False
         self._table_dtype = "float32"
         self._lr_schedule = "constant"
+        self._embedding_init_scale = 1.0
 
     # -- fluent setters (names mirror the reference) -----------------------
 
@@ -76,13 +77,22 @@ class Hyperparameters:
 
     def lr_schedule(self, schedule: str) -> "Hyperparameters":
         """Learning-rate schedule over the whole fit: ``"constant"``
-        (default — the reference's behavior), ``"linear"`` (decay to 0) or
-        ``"cosine"``. Batched synchronous training takes far fewer optimizer
-        steps than the reference's per-sequence SGD; a decaying tail reduces
-        final-iterate variance (SURVEY.md §7 hard part 2)."""
-        if schedule not in ("constant", "linear", "cosine"):
+        (default — the reference's behavior), ``"linear"`` (decay to 0),
+        ``"cosine"``, or ``"warmup_cosine"`` (linear warmup over the first
+        10% of steps, then cosine decay). Batched synchronous training
+        takes far fewer optimizer steps than the reference's per-sequence
+        SGD; a decaying tail reduces final-iterate variance (SURVEY.md §7
+        hard part 2)."""
+        if schedule not in ("constant", "linear", "cosine", "warmup_cosine"):
             raise ValueError(f"unknown lr schedule: {schedule!r}")
         self._lr_schedule = schedule
+        return self
+
+    def embedding_init_scale(self, scale: float) -> "Hyperparameters":
+        """Multiplier on the embedding init std (default 1.0 = the
+        reference's N(0, 1/dim), ``src/models/lstm.rs:22-25``). A tuning
+        lever only; 1.0 reproduces the reference bit-for-bit."""
+        self._embedding_init_scale = float(scale)
         return self
 
     def l2_penalty(self, l2_penalty: float) -> "Hyperparameters":
@@ -204,6 +214,7 @@ class Hyperparameters:
             "table_dtype": self._table_dtype,
             "sparse_updates": self._sparse_updates,
             "lr_schedule": self._lr_schedule,
+            "embedding_init_scale": self._embedding_init_scale,
         }
 
     @classmethod
@@ -223,6 +234,7 @@ class Hyperparameters:
         hp._table_dtype = d.get("table_dtype", "float32")
         hp._sparse_updates = d.get("sparse_updates")
         hp._lr_schedule = d.get("lr_schedule", "constant")
+        hp._embedding_init_scale = d.get("embedding_init_scale", 1.0)
         return hp
 
 
@@ -293,6 +305,7 @@ class ImplicitSequenceModel:
         params = init_embedding_params(
             k_emb, hyper._num_items, hyper._item_embedding_dim,
             dtype=hyper._table_dtype,
+            init_scale=hyper._embedding_init_scale,
         )
         params["tower"] = self._init_tower(k_tower, hyper._item_embedding_dim)
         self._params = params

@@ -74,7 +74,8 @@ class EngineConfig:
 
 
 def init_embedding_params(
-    key: jax.Array, num_items: int, dim: int, dtype="float32"
+    key: jax.Array, num_items: int, dim: int, dtype="float32",
+    init_scale: float = 1.0,
 ) -> Dict[str, jnp.ndarray]:
     """The fused item table: embedding columns ``[:, :dim]`` N(0, 1/dim)
     (reference ``src/models/lstm.rs:22-25``) plus the bias as the LAST
@@ -95,8 +96,11 @@ def init_embedding_params(
     # Generate in the storage dtype and append the zero bias column via pad
     # (a [N, 1] zeros operand would round up to a full 128-lane group — at
     # 20M rows that is ~10 GB of pure padding).
+    # init_scale is a tuning lever (base.Hyperparameters.embedding_init_
+    # scale); at the default 1.0 the constant below is exactly 1/dim, so
+    # existing tuned trajectories are reproduced bit-for-bit.
     emb = jax.random.normal(key, (num_items, dim), dtype=dtype) * jnp.asarray(
-        1.0 / dim, dtype
+        init_scale / dim, dtype
     )
     return {"item_table": jnp.pad(emb, ((0, 0), (0, 1)))}
 
@@ -267,6 +271,15 @@ def make_train_step(
         elif config.lr_schedule == "cosine" and total_steps:
             lr = lr * 0.5 * (
                 1.0 + jnp.cos(jnp.pi * step.astype(jnp.float32) / total_steps)
+            )
+        elif config.lr_schedule == "warmup_cosine" and total_steps:
+            # Linear warmup over the first 10% of steps, cosine decay after.
+            warm = max(1.0, 0.1 * total_steps)
+            s = step.astype(jnp.float32)
+            lr = lr * jnp.where(
+                s < warm,
+                (s + 1.0) / warm,
+                0.5 * (1.0 + jnp.cos(jnp.pi * (s - warm) / max(1.0, total_steps - warm))),
             )
 
         loss_sum, (d_s, d_neg, d_tower) = jax.value_and_grad(

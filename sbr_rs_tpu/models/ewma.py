@@ -26,6 +26,17 @@ class Hyperparameters(base.Hyperparameters):
     """Hyperparameters for the :class:`ImplicitEWMAModel`
     (reference ``src/models/ewma.rs:44-165``)."""
 
+    def __init__(self, num_items: int, max_sequence_length: int):
+        super().__init__(num_items, max_sequence_length)
+        self._alpha_init = 0.0
+
+    def alpha_init(self, value: float) -> "Hyperparameters":
+        """Initial per-dimension decay logit (default 0.0 = the reference's
+        zero init, sigmoid(0) = 0.5 decay — ``src/models/ewma.rs:175-178``).
+        A tuning lever; 0.0 reproduces the reference bit-for-bit."""
+        self._alpha_init = float(value)
+        return self
+
     @classmethod
     def random(cls, num_items: int, rng: "np.random.Generator | int | None" = None) -> "Hyperparameters":
         """Random hyperparameters for search (reference ``src/models/ewma.rs:139-165``)."""
@@ -35,11 +46,14 @@ class Hyperparameters(base.Hyperparameters):
     def to_dict(self) -> dict:
         d = super().to_dict()
         d["model_type"] = "ewma"
+        d["alpha_init"] = self._alpha_init
         return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "Hyperparameters":
-        return cls._from_dict_common(d)
+        hp = cls._from_dict_common(d)
+        hp._alpha_init = d.get("alpha_init", 0.0)
+        return hp
 
     def build(self) -> "ImplicitEWMAModel":
         """Build the implicit EWMA model (reference ``src/models/ewma.rs:200-206``)."""
@@ -51,7 +65,7 @@ class ImplicitEWMAModel(base.ImplicitSequenceModel):
     (reference ``src/models/ewma.rs:399-436``)."""
 
     def _init_tower(self, key: jax.Array, dim: int) -> Dict:
-        return init_ewma(key, dim)
+        return init_ewma(key, dim, alpha_init=getattr(self.hyper, "_alpha_init", 0.0))
 
     def _tower_fn(self):
         return ewma_apply

@@ -116,16 +116,17 @@ def lstm_apply(
 # ---------------------------------------------------------------------------
 
 
-def init_ewma(key: jax.Array, dim: int) -> Dict[str, jnp.ndarray]:
+def init_ewma(key: jax.Array, dim: int, alpha_init: float = 0.0) -> Dict[str, jnp.ndarray]:
     """EWMA parameters: per-dimension decay logits, zero-initialized
     (sigmoid(0) = 0.5; reference ``src/models/ewma.rs:175-178``).
+    ``alpha_init`` is a tuning lever (0.0 = the reference's init exactly).
 
     The reference also allocates ``fc1``/``fc2`` dense layers that are never
     used in its graph (``src/models/ewma.rs:179-188``) — deliberately not
     reproduced here (dead parameters, see SURVEY.md §2.1).
     """
     del key
-    return {"alpha": jnp.zeros((dim,), dtype=jnp.float32)}
+    return {"alpha": jnp.full((dim,), alpha_init, dtype=jnp.float32)}
 
 
 def ewma_apply(

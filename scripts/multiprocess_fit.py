@@ -72,6 +72,9 @@ def main() -> None:
         num_items,
     ).to_compressed()
 
+    import time
+
+    t_ready = time.perf_counter()
     model = (
         lstm.Hyperparameters(num_items, 8)
         .embedding_dim(16)
@@ -84,8 +87,16 @@ def main() -> None:
         .mesh(mesh)
         .build()
     )
-    loss = model.fit(inter)
+    loss = model.fit(inter)  # includes compile
+    t_first_fit = time.perf_counter()
     losses = [float(x) for x in model._last_epoch_losses]
+    # Steady-state wall: the number that predicts real multi-host scaling
+    # (one-off interpreter/distributed-init/compile costs excluded).
+    warm = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        model.fit(inter)
+        warm = min(warm, time.perf_counter() - t0)
     if process_id == 0:
         print(
             json.dumps(
@@ -95,6 +106,8 @@ def main() -> None:
                     "model_axis": model_axis,
                     "loss": float(loss),
                     "epoch_losses": losses,
+                    "first_fit_s": t_first_fit - t_ready,
+                    "warm_fit_s": warm,
                 }
             )
         )

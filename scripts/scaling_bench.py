@@ -157,6 +157,17 @@ def all_benches(out_path: str) -> None:
         "trajectory_identical": sp["epoch_losses"] == mp["epoch_losses"],
         "wall_s_single": sp_wall,
         "wall_s_two_process": mp_wall,
+        # Phase attribution (VERDICT r2 item 7): the process wall above is
+        # dominated by one-off costs (interpreter + imports + distributed
+        # init + compile); warm_fit is the steady-state number that
+        # predicts real multi-host scaling.
+        "first_fit_s_single": sp["first_fit_s"],
+        "first_fit_s_two_process": mp["first_fit_s"],
+        "warm_fit_s_single": sp["warm_fit_s"],
+        "warm_fit_s_two_process": mp["warm_fit_s"],
+        "warm_fit_ratio_two_process_vs_single": (
+            mp["warm_fit_s"] / sp["warm_fit_s"]
+        ),
     }
 
     tb = {}
