@@ -55,7 +55,9 @@ def bench_ml1m():
         .build()
     )
     eps, wall = _examples_per_sec(model, mat)
-    return {"config": "ml1m_packed_coupled_lstm128", "examples_per_sec": round(eps), "wall_s": round(wall, 2)}
+    # "ml1m_shaped": ML-1M's user/item/interaction counts on synthetic
+    # power-law data — the real dataset is unreachable without egress.
+    return {"config": "ml1m_shaped_synthetic_packed_coupled_lstm128", "examples_per_sec": round(eps), "wall_s": round(wall, 2)}
 
 
 def bench_items(num_items: int, name: str, dim: int = 256, dtype: str = "float32"):
