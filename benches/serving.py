@@ -64,11 +64,26 @@ def bench_large(num_items: int, name: str, dim: int = 127, dtype: str = "float32
         recs = model.recommend_batch(histories, k=10)
         best = min(best, _time.perf_counter() - t0)
     assert len(recs) == u and len(set(recs[0])) == 10
+
+    # Approximate mode (lax.approx_max_k PartialReduce): throughput and
+    # MEASURED recall@10 against the exact results.
+    model.recommend_batch(histories, k=10, approximate=True)  # warm
+    best_apx = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        recs_apx = model.recommend_batch(histories, k=10, approximate=True)
+        best_apx = min(best_apx, _time.perf_counter() - t0)
+    recall = sum(
+        len(set(a) & set(e)) for a, e in zip(recs_apx, recs)
+    ) / (10.0 * u)
+
     print(
         json.dumps(
             {
                 "config": name,
                 "recommend_batch_users_per_sec": round(u / best, 1),
+                "approx_users_per_sec": round(u / best_apx, 1),
+                "approx_recall_at_10": round(recall, 4),
                 "batch_users": u,
                 "catalog_items": num_items,
                 "table_dtype": dtype,
