@@ -15,7 +15,11 @@ a whole ``[B, T]`` padded batch of windows is one XLA-compiled step:
    :func:`sbr_rs_tpu.ops.sampling.warp_select`) so only the SELECTED
    negative joins the differentiated row set — the backward/scatter path
    touches 3*B*T rows, not (2+K)*B*T, and rejected draws get no gradient
-   or L2, exactly like the reference;
+   or L2, exactly like the reference. Selection happens INSIDE the
+   differentiated loss so the single primal tower forward serves both
+   selection and scoring by construction (one Pallas/scan fwd + one bwd
+   per step, not relying on XLA CSE to merge duplicate forwards — CSE
+   cannot be assumed for Mosaic custom calls under ``shard_map``);
 3. the loss is differentiated with respect to the *gathered row copies*,
    never the full table — gradient cost scales with the batch, not the
    catalog; scores dot a bias-augmented hidden state against whole fused
@@ -196,74 +200,74 @@ def make_train_step(
             return full[:, :t, :-1], full[:, 1:, :]
 
         if is_warp:
-            # WARP selection is a forward-only decision made from current
-            # values (the reference samples with forward passes,
-            # src/models/sequence_model.rs:125-135). Keeping the K
-            # candidates OUT of the differentiated row set is the hot-path
-            # win: grads/scatters touch ~2*B*T rows, not (1+K)*B*T more —
-            # only the selected draw is a graph row, exactly like the
-            # reference (rejected draws get no gradient or L2,
-            # src/models/sequence_model.rs:47-68). The selection tower pass
-            # is gradient-free and cheap next to the row traffic.
-            rows_sg = jax.lax.stop_gradient(rows_s)
-            tower_sg = jax.lax.stop_gradient(params["tower"])
-            in_emb0, pos_rows0 = views(rows_sg)
-            hidden0 = tower_apply(tower_sg, in_emb0, starts=starts)
+            # Forward-only candidate rows: K draws are scored but never join
+            # the differentiated row set — grads/scatters touch ~2*B*T rows,
+            # not (1+K)*B*T more; only the selected draw is a graph row,
+            # exactly like the reference (rejected draws get no gradient or
+            # L2, src/models/sequence_model.rs:47-68).
+            cand_rows = jax.lax.stop_gradient(gather(candidates))
+
+        def scored_loss(rows_s, neg_in, tower_params):
+            """Masked loss sum (+ selected negatives as aux under WARP).
+
+            ``neg_in`` is the differentiable stand-in for the selected
+            negative rows: the gathered rows themselves when the negative
+            is known up front (BPR/Hinge), or a ZERO array added onto the
+            in-function gather under WARP — selection happens inside the
+            differentiated region so the same tower forward serves both
+            the WARP selection pass and the loss (the reference also
+            reuses its forward values for sampling,
+            src/models/sequence_model.rs:125-135; a separate
+            stop_gradient'd selection forward measured ~8% of the step).
+            Gradients attach to arguments, not provenance: adding the zero
+            array re-exposes the stop_gradient'd gather as a leaf whose
+            cotangent is exactly the selected rows' gradient, while XLA
+            folds the add of zeros away in the primal.
+            """
+            in_emb, pos_rows = views(rows_s)
+
+            hidden = tower_apply(tower_params, in_emb, starts=starts)  # [B, T, D]
             # Score against FUSED rows: hidden augmented with a ones column
             # dots the bias in for free, and the [*, D+1] gathered rows are
             # used as-is — no embedding/bias column slicing (which would
             # force a relayout copy of every gathered row).
-            haug0 = jnp.concatenate([hidden0, jnp.ones((b, t, 1), hidden0.dtype)], -1)
-            pos_score0 = jnp.einsum("bte,bte->bt", haug0, pos_rows0)
-            cand_rows = jax.lax.stop_gradient(gather(candidates))
-            # The candidate-score reduce is bandwidth-bound at ~50 us/step
-            # (B=256) in ANY formulation: a fused Pallas reduce ran the dot
-            # itself 2x faster but re-materialized the [B,T,K,C] operand at
-            # its interface for the same total — measured, then deleted.
-            cand_score = jnp.einsum("bte,btke->btk", haug0, cand_rows)
-            # Arithmetic one-hot selection: take_along_axis lowers to a
-            # per-element gather that costs ~8 us per 1k elements on TPU
-            # (profiled: 64 us to pick 8192 ints at B=256); a K-wide
-            # multiply-sum is a handful of fused VPU ops.
-            sel_onehot = warp_select_onehot(pos_score0, cand_score)
-            negatives = jnp.sum(
-                candidates * sel_onehot.astype(jnp.int32), axis=-1
-            )
-            # Values of the selected rows, re-exposed as a differentiable
-            # argument (gradients attach to arguments, not provenance). A
-            # fresh BT-row gather (~1.5 ns/row) beats selecting rows out of
-            # cand_rows by value (take_along_axis again, ~6 ns/row).
-            neg_rows = gather(negatives)
-        else:
-            negatives = candidates[:, :, 0]
-            neg_rows = gather(negatives)
-
-        mask_flat = mask.reshape(-1) > 0
-        mask_b = mask > 0
-        zero_col = jnp.zeros((b, 1), bool)
-        # Stream-slot occurrence flags: slot p is an input occurrence iff
-        # position p is supervised, a target occurrence iff position p-1 is.
-        in_occ = jnp.concatenate([mask_b, zero_col], axis=1).reshape(-1)
-        tg_occ = jnp.concatenate([zero_col, mask_b], axis=1).reshape(-1)
-        occ_valid = jnp.concatenate([in_occ | tg_occ, mask_flat])
-        # Input occurrences touch only the embedding columns — the bias of a
-        # row touched only as an input gets no L2/state/step (the reference
-        # keeps biases as a separate parameter inputs never index,
-        # src/models/lstm.rs:272-291).
-        bias_occ = jnp.concatenate([tg_occ, mask_flat])
-        flat_idx = jnp.concatenate([stream.reshape(-1), negatives.reshape(-1)])
-
-        def scored_loss(rows_s, neg_rows, tower_params):
-            d = rows_s.shape[-1] - 1
-            in_emb, pos_rows = views(rows_s)
-
-            hidden = tower_apply(tower_params, in_emb, starts=starts)  # [B, T, D]
             haug = jnp.concatenate([hidden, jnp.ones((b, t, 1), hidden.dtype)], -1)
             pos_score = jnp.einsum("bte,bte->bt", haug, pos_rows)
-            neg_score = jnp.einsum("bte,bte->bt", haug, neg_rows.reshape(b, t, d + 1))
+
+            if is_warp:
+                # WARP selection is a forward-only decision made from
+                # current values: everything below until the fresh gather
+                # is under stop_gradient.
+                haug0 = jax.lax.stop_gradient(haug)
+                # The candidate-score reduce is bandwidth-bound at ~50
+                # us/step (B=256) in ANY formulation: a fused Pallas reduce
+                # ran the dot itself 2x faster but re-materialized the
+                # [B,T,K,C] operand at its interface for the same total —
+                # measured, then deleted.
+                cand_score = jnp.einsum("bte,btke->btk", haug0, cand_rows)
+                # Arithmetic one-hot selection: take_along_axis lowers to a
+                # per-element gather that costs ~8 us per 1k elements on TPU
+                # (profiled: 64 us to pick 8192 ints at B=256); a K-wide
+                # multiply-sum is a handful of fused VPU ops.
+                sel_onehot = warp_select_onehot(
+                    jax.lax.stop_gradient(pos_score), cand_score
+                )
+                negatives = jnp.sum(
+                    candidates * sel_onehot.astype(jnp.int32), axis=-1
+                )
+                # Values of the selected rows via a fresh BT-row gather
+                # (~1.5 ns/row; selecting out of cand_rows by value is
+                # take_along_axis again, ~6 ns/row), re-exposed as a
+                # differentiable leaf by the zero-add.
+                neg_rows = jax.lax.stop_gradient(gather(negatives)) + neg_in
+            else:
+                negatives = None
+                neg_rows = neg_in
+
+            neg_score = jnp.einsum("bte,bte->bt", haug, neg_rows)
 
             losses = pairwise_loss(config.loss, pos_score, neg_score)
-            return jnp.sum(losses * mask)
+            return jnp.sum(losses * mask), negatives
 
         step = opt_state["step"]
         if config.lr_schedule == "linear" and total_steps:
@@ -282,12 +286,33 @@ def make_train_step(
                 0.5 * (1.0 + jnp.cos(jnp.pi * (s - warm) / max(1.0, total_steps - warm))),
             )
 
-        loss_sum, (d_s, d_neg, d_tower) = jax.value_and_grad(
-            scored_loss, argnums=(0, 1, 2)
-        )(rows_s, neg_rows, params["tower"])
+        if is_warp:
+            neg_in = jnp.zeros((b, t, c_param), jnp.float32)
+        else:
+            neg_in = gather(candidates[:, :, 0])
+        (loss_sum, negatives), (d_s, d_neg, d_tower) = jax.value_and_grad(
+            scored_loss, argnums=(0, 1, 2), has_aux=True
+        )(rows_s, neg_in, params["tower"])
+        if negatives is None:
+            negatives = candidates[:, :, 0]
         d_rows = jnp.concatenate(
             [d_s.reshape(-1, c_param), d_neg.reshape(-1, c_param)]
         )
+
+        mask_flat = mask.reshape(-1) > 0
+        mask_b = mask > 0
+        zero_col = jnp.zeros((b, 1), bool)
+        # Stream-slot occurrence flags: slot p is an input occurrence iff
+        # position p is supervised, a target occurrence iff position p-1 is.
+        in_occ = jnp.concatenate([mask_b, zero_col], axis=1).reshape(-1)
+        tg_occ = jnp.concatenate([zero_col, mask_b], axis=1).reshape(-1)
+        occ_valid = jnp.concatenate([in_occ | tg_occ, mask_flat])
+        # Input occurrences touch only the embedding columns — the bias of a
+        # row touched only as an input gets no L2/state/step (the reference
+        # keeps biases as a separate parameter inputs never index,
+        # src/models/lstm.rs:272-291).
+        bias_occ = jnp.concatenate([tg_occ, mask_flat])
+        flat_idx = jnp.concatenate([stream.reshape(-1), negatives.reshape(-1)])
 
         if config.sparse_updates:
             dd, summed, bias_valid = opt_ops.dedupe_and_sum(

@@ -55,8 +55,7 @@ def main():
 
     rng = np.random.default_rng(0)
     batch = {
-        "inputs": jnp.asarray(rng.integers(0, items, (b, t)), jnp.int32),
-        "targets": jnp.asarray(rng.integers(0, items, (b, t)), jnp.int32),
+        "stream": jnp.asarray(rng.integers(0, items, (b, t + 1)), jnp.int32),
         "mask": jnp.ones((b, t), jnp.float32),
     }
     key = jax.random.PRNGKey(0)
