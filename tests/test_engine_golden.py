@@ -145,3 +145,37 @@ def test_one_step_matches_numpy_reference(loss, sparse):
     # relative update error. Real semantic bugs (wrong occurrence sets, L2,
     # formulas) produce errors orders of magnitude above this bound.
     np.testing.assert_allclose(got_table, want_table, rtol=2e-4, atol=1e-3)
+
+
+def test_warp_step_traces_one_tower_forward():
+    """The WARP selection pass shares the primal tower forward.
+
+    Selection runs on stop_gradient'd views of the single forward inside
+    the differentiated loss (engine.py scored_loss) — a separate selection
+    forward measured ~8% of the device step, and XLA CSE cannot be relied
+    on to merge duplicate Mosaic custom calls under shard_map. Tracing the
+    step must therefore invoke the tower exactly once.
+    """
+    n, d, b, t = 23, 8, 4, 5
+    calls = []
+
+    def counting_tower(tower_params, x, starts=None):
+        calls.append(x.shape)
+        return x
+
+    params = init_embedding_params(jax.random.PRNGKey(1), n, d)
+    params["tower"] = {}
+    cfg = EngineConfig(
+        num_items=n, loss=Loss.WARP, optimizer=Optimizer.ADAGRAD,
+        learning_rate=0.1, l2_penalty=0.01, sparse_updates=False,
+    )
+    step_fn = make_train_step(cfg, counting_tower)
+    opt_state = init_opt_state(Optimizer.ADAGRAD, params)
+    batch = {
+        "stream": jnp.zeros((b, t + 1), jnp.int32),
+        "mask": jnp.ones((b, t), jnp.float32),
+    }
+    jax.make_jaxpr(
+        lambda p, o, k, bt: step_fn(p, o, k, bt)[2]
+    )(params, opt_state, jax.random.PRNGKey(7), batch)
+    assert len(calls) == 1, f"tower traced {len(calls)} times: {calls}"
