@@ -20,12 +20,41 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def _wait_for_backend(deadline_s: float = 600.0):
+    """Return jax.devices()[0], retrying while the tunneled TPU backend
+    reports UNAVAILABLE.
+
+    The axon tunnel occasionally drops for minutes at a time; a bench run
+    that happens to start inside an outage should wait it out (bounded)
+    rather than record a failure. Each failed init attempt can itself block
+    for ~10+ minutes inside the plugin, so the deadline is checked between
+    attempts, not enforced within one.
+    """
     import jax
 
+    t0 = time.monotonic()
+    while True:
+        try:
+            return jax.devices()[0]
+        except RuntimeError as e:
+            if time.monotonic() - t0 > deadline_s:
+                raise
+            print(f"backend unavailable, retrying: {e}", file=sys.stderr)
+            # jax caches the failed-backend state; clear it so the next
+            # attempt re-initializes the plugin.
+            try:
+                import jax.extend
+
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
+            time.sleep(20.0)
+
+
+def main() -> None:
     import sbr_rs_tpu as sbr
 
-    device = jax.devices()[0]
+    device = _wait_for_backend()
     print(f"bench device: {device}", file=sys.stderr)
 
     data = sbr.datasets.download_movielens_100k()
