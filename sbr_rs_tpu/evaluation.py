@@ -82,16 +82,40 @@ def _make_chunk_counter(chunk: int):
 
 def mrr_score(model, test: CompressedInteractions) -> float:
     """Compute MRR of next-item predictions (reference ``src/evaluation.rs:12``)."""
+    ranks = _ranks(model, test)
+    if ranks.size == 0:
+        return float("nan")
+    return float(np.mean(1.0 / ranks.astype(np.float64)))
+
+
+def hit_rate_score(model, test: CompressedInteractions, k: int = 10) -> float:
+    """Fraction of held-out items ranked in the top ``k`` (hit rate @ k).
+
+    Same protocol as :func:`mrr_score` (full-catalog scoring, seen-item
+    masking, ties count against — no reference counterpart, which only
+    reports MRR): a "hit" is ``rank <= k`` for the user's single held-out
+    next item, so this is also recall@k for the next-item task.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ranks = _ranks(model, test)
+    if ranks.size == 0:
+        return float("nan")
+    return float(np.mean(ranks <= k))
+
+
+def _ranks(model, test: CompressedInteractions) -> np.ndarray:
+    """Rank of each qualifying test user's held-out item (1 = top)."""
     if isinstance(model, ImplicitSequenceModel):
-        return _mrr_score_batched(model, test)
-    return _mrr_score_generic(model, test)
+        return _ranks_batched(model, test)
+    return _ranks_generic(model, test)
 
 
-def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -> float:
+def _ranks_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -> np.ndarray:
     num_items = test.num_items
     users = [u for u in test.iter_users() if len(u) >= 2]
     if not users:
-        return float("nan")
+        return np.zeros((0,), dtype=np.int64)
 
     prefixes = [u.item_ids[:-1] for u in users]
     test_items_all = np.array([u.item_ids[-1] for u in users], dtype=np.int32)
@@ -124,7 +148,7 @@ def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteraction
         while u_pad < len(users):
             u_pad *= 2
 
-    rrs = []
+    all_ranks = []
     for start in range(0, len(users), _USER_BATCH):
         batch_prefixes = prefixes[start : start + _USER_BATCH]
         test_items = test_items_all[start : start + _USER_BATCH]
@@ -178,17 +202,17 @@ def _mrr_score_batched(model: ImplicitSequenceModel, test: CompressedInteraction
 
         # rank = 1 (the item itself, ties-count-against) + other items >= it.
         ranks = 1 + np.asarray(counts) - np.asarray(self_hits)
-        rrs.append(1.0 / ranks[:u].astype(np.float64))  # drop padding users
+        all_ranks.append(ranks[:u].astype(np.int64))  # drop padding users
 
-    return float(np.mean(np.concatenate(rrs)))
+    return np.concatenate(all_ranks)
 
 
-def _mrr_score_generic(model, test: CompressedInteractions) -> float:
+def _ranks_generic(model, test: CompressedInteractions) -> np.ndarray:
     """Fallback for any object implementing the OnlineRankingModel protocol
     (``user_representation`` + ``predict``), mirroring the reference's
     per-user loop exactly."""
     item_ids = np.arange(test.num_items)
-    rrs = []
+    ranks = []
     for user in test.iter_users():
         if len(user) < 2:
             continue
@@ -198,6 +222,5 @@ def _mrr_score_generic(model, test: CompressedInteractions) -> float:
         predictions = np.array(model.predict(rep, item_ids), dtype=np.float32)
         predictions[train_items] = _NEG_MIN
         test_score = predictions[test_item]
-        rank = int(np.sum(predictions >= test_score))
-        rrs.append(1.0 / rank)
-    return float(np.mean(rrs)) if rrs else float("nan")
+        ranks.append(int(np.sum(predictions >= test_score)))
+    return np.asarray(ranks, dtype=np.int64)

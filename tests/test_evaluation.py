@@ -72,9 +72,12 @@ def test_batched_matches_generic():
         .build()
     )
     model.fit(inter)
-    fast = evaluation._mrr_score_batched(model, inter)
-    slow = evaluation._mrr_score_generic(model, inter)
-    assert abs(fast - slow) < 1e-4
+    fast = evaluation._ranks_batched(model, inter)
+    slow = evaluation._ranks_generic(model, inter)
+    # Rank-level agreement is stricter than the old MRR-level check; a
+    # float-rounding rank difference on a near-tie would still show as
+    # <1e-4 in MRR but fails here.
+    np.testing.assert_array_equal(fast, slow)
 
 
 def test_batched_chunking_invariance(monkeypatch):
@@ -87,11 +90,11 @@ def test_batched_chunking_invariance(monkeypatch):
         .build()
     )
     model.fit(inter)
-    full = evaluation._mrr_score_batched(model, inter)
+    full = evaluation._ranks_batched(model, inter)
     monkeypatch.setattr(evaluation, "_ITEM_CHUNK", 7)
     monkeypatch.setattr(evaluation, "_USER_BATCH", 13)
-    chunked = evaluation._mrr_score_batched(model, inter)
-    assert abs(full - chunked) < 1e-6
+    chunked = evaluation._ranks_batched(model, inter)
+    np.testing.assert_array_equal(full, chunked)
 
 
 def test_users_with_single_item_skipped():
@@ -140,3 +143,47 @@ def test_single_compile_across_partial_batches(monkeypatch):
     assert np.isfinite(mrr)
     added = counter._cache_size() - before
     assert added == 1, f"expected ONE chunk-counter compile, got {added}"
+
+
+def test_hit_rate_semantics():
+    """Same fixture as test_generic_mrr_semantics: ranks are [1, 2], so
+    hit_rate@1 = 0.5 and hit_rate@2 = 1.0."""
+    inter = D.Interactions.from_arrays(
+        np.array([0, 0, 1, 1]),
+        np.array([1, 0, 0, 2]),
+        np.array([0, 1, 0, 1]),
+        num_users=2,
+        num_items=5,
+    )
+    comp = inter.to_compressed()
+    assert abs(evaluation.hit_rate_score(_StubModel(), comp, k=1) - 0.5) < 1e-6
+    assert abs(evaluation.hit_rate_score(_StubModel(), comp, k=2) - 1.0) < 1e-6
+
+
+def test_hit_rate_batched_matches_generic():
+    inter = _toy().to_compressed()
+    model = (
+        ewma.Hyperparameters(inter.num_items, 8)
+        .num_epochs(1)
+        .from_seed(0)
+        .build()
+    )
+    model.fit(inter)
+    for k in (1, 5, inter.num_items):
+        fast = evaluation.hit_rate_score(model, inter, k=k)
+
+        class _Wrap:
+            user_representation = model.user_representation
+            predict = model.predict
+
+        slow = evaluation.hit_rate_score(_Wrap(), inter, k=k)
+        assert abs(fast - slow) < 1e-9, k
+    # every held-out item is somewhere in the catalog
+    assert evaluation.hit_rate_score(model, inter, k=inter.num_items) == 1.0
+
+
+def test_hit_rate_k_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        evaluation.hit_rate_score(_StubModel(), _toy().to_compressed(), k=0)
