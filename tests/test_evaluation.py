@@ -137,12 +137,13 @@ def test_single_compile_across_partial_batches(monkeypatch):
     )
     model.fit(inter)
 
-    counter = E._make_chunk_counter(min(E._ITEM_CHUNK, num_items))
+    chunk = min(E._ITEM_CHUNK, num_items)
+    counter = E._make_catalog_counter(chunk, -(-num_items // chunk), num_items)
     before = counter._cache_size()
     mrr = E.mrr_score(model, inter)
     assert np.isfinite(mrr)
     added = counter._cache_size() - before
-    assert added == 1, f"expected ONE chunk-counter compile, got {added}"
+    assert added == 1, f"expected ONE catalog-counter compile, got {added}"
 
 
 def test_hit_rate_semantics():
