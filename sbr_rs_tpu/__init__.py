@@ -2,7 +2,8 @@
 
 Brand-new JAX/XLA/pjit/Pallas implementation with the capabilities of
 `maciejkula/sbr-rs` (reference layout documented in SURVEY.md): implicit
--feedback sequence models (LSTM normal/coupled, learnable-EWMA) trained
+-feedback sequence models (LSTM normal/coupled, learnable-EWMA, plus a
+causal-transformer extension) trained
 with BPR / Hinge / WARP pairwise losses and sparse Adagrad / Adam, with
 user-based train/test splitting and full-catalog MRR evaluation.
 

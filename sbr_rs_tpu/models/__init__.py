@@ -75,7 +75,7 @@ class Parallelism(enum.Enum):
     SYNCHRONOUS = "synchronous"
 
 
-from . import ewma, lstm  # noqa: E402  (re-exported submodules)
+from . import attention, ewma, lstm  # noqa: E402  (re-exported submodules)
 
 __all__ = [
     "ImplicitUser",
@@ -83,6 +83,7 @@ __all__ = [
     "Loss",
     "Optimizer",
     "Parallelism",
+    "attention",
     "ewma",
     "lstm",
 ]

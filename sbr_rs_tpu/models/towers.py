@@ -112,6 +112,122 @@ def lstm_apply(
 
 
 # ---------------------------------------------------------------------------
+# Causal self-attention (SASRec-style transformer encoder)
+# ---------------------------------------------------------------------------
+
+
+def init_attention(
+    key: jax.Array,
+    dim: int,
+    max_len: int,
+    num_layers: int = 2,
+    num_heads: int = 1,
+) -> Dict:
+    """Parameters for the causal self-attention tower.
+
+    No counterpart in the reference (its towers are LSTM and EWMA) — this is
+    a deliberate TPU-first extension: every op in the tower is a large batched
+    matmul (QKV/output projections, attention scores, FFN), which is exactly
+    the shape the MXU wants, where the LSTM serializes a length-T scan.
+
+    Layout: learned positional table ``[max_len, D]`` plus per-layer pre-LN
+    blocks ``{ln1, w_qkv [D, 3D], w_o [D, D], ln2, w_f1/b_f1, w_f2/b_f2}``
+    and a final layer norm. Deterministic (no dropout), matching the rest of
+    the framework.
+    """
+    if dim % num_heads:
+        raise ValueError(f"num_heads={num_heads} must divide dim={dim}")
+    k_pos, k_layers = jax.random.split(key)
+    pos = (dim**-0.5) * jax.random.normal(k_pos, (max_len, dim), dtype=jnp.float32)
+
+    def _layer(k):
+        k_qkv, k_o, k_f1, k_f2 = jax.random.split(k, 4)
+        return {
+            "ln1": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
+            "w_qkv": _glorot(k_qkv, (dim, 3 * dim)),
+            "w_o": _glorot(k_o, (dim, dim)),
+            "ln2": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
+            "w_f1": _glorot(k_f1, (dim, dim)),
+            "b_f1": jnp.zeros((dim,)),
+            "w_f2": _glorot(k_f2, (dim, dim)),
+            "b_f2": jnp.zeros((dim,)),
+        }
+
+    return {
+        "pos": pos,
+        "layers": [_layer(k) for k in jax.random.split(k_layers, num_layers)],
+        "ln_f": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
+    }
+
+
+def _layer_norm(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * p["scale"] + p["bias"]
+
+
+def attention_apply(
+    params: Dict,
+    x: jnp.ndarray,
+    *,
+    num_heads: int,
+    starts: "jnp.ndarray | None" = None,
+) -> jnp.ndarray:
+    """Run the causal transformer encoder over ``x [B, T, D]`` → ``[B, T, D]``.
+
+    Positions are window-relative and attention is block-diagonal across
+    packed windows: with ``starts [B, T]`` marking window beginnings,
+    position ``t`` attends only to ``j <= t`` in the SAME window and its
+    positional index restarts at each window start — so packed rows behave
+    exactly like separate sequences (the same contract the recurrent towers
+    honor by resetting their carries).
+
+    Causality gives this tower the recurrent towers' semantics: the state at
+    ``t`` depends only on items ``<= t``, so next-item training targets and
+    the serving last-state readout work unchanged.
+    """
+    b_, t_, d = x.shape
+    x = x.astype(jnp.float32)
+    t_idx = jnp.arange(t_)
+    causal = t_idx[None, :] <= t_idx[:, None]  # [T, T]
+    if starts is None:
+        pos_idx = jnp.broadcast_to(t_idx, (b_, t_))
+        mask = jnp.broadcast_to(causal, (b_, 1, t_, t_))
+    else:
+        s = starts.at[:, 0].set(1.0)  # row position 0 always begins a window
+        win_id = jnp.cumsum(s, axis=1)  # [B, T]
+        start_pos = jax.lax.cummax(jnp.where(s > 0, t_idx, 0), axis=1)
+        pos_idx = t_idx - start_pos
+        same_win = win_id[:, :, None] == win_id[:, None, :]
+        mask = (same_win & causal)[:, None]  # [B, 1, T, T]
+
+    pos_idx = jnp.clip(pos_idx, 0, params["pos"].shape[0] - 1)
+    h = x + jnp.take(params["pos"], pos_idx, axis=0)
+
+    hd = d // num_heads
+    scale = hd**-0.5
+    neg = jnp.float32(-1e9)
+    for layer in params["layers"]:
+        a_in = _layer_norm(layer["ln1"], h)
+        qkv = (a_in.reshape(b_ * t_, d) @ layer["w_qkv"]).reshape(
+            b_, t_, 3, num_heads, hd
+        )
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, T, H, hd]
+        logits = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
+        logits = jnp.where(mask, logits, neg)
+        attn = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b_ * t_, d)
+        h = h + (ctx @ layer["w_o"]).reshape(b_, t_, d)
+        f_in = _layer_norm(layer["ln2"], h)
+        f = jax.nn.relu(
+            (f_in.reshape(b_ * t_, d) @ layer["w_f1"]) + layer["b_f1"]
+        )
+        h = h + ((f @ layer["w_f2"]) + layer["b_f2"]).reshape(b_, t_, d)
+
+    return _layer_norm(params["ln_f"], h)
+
+
+# ---------------------------------------------------------------------------
 # EWMA
 # ---------------------------------------------------------------------------
 

@@ -55,7 +55,7 @@ def save_model(model, path: str) -> None:
 
 
 def load_model(path: str):
-    from ..models import ewma, lstm
+    from ..models import attention, ewma, lstm
 
     p = Path(path)
     config = json.loads((p / "config.json").read_text())
@@ -73,6 +73,8 @@ def load_model(path: str):
         hyper = lstm.Hyperparameters.from_dict(config)
     elif model_type == "ewma":
         hyper = ewma.Hyperparameters.from_dict(config)
+    elif model_type == "attention":
+        hyper = attention.Hyperparameters.from_dict(config)
     else:
         raise ValueError(f"Unknown model_type: {model_type}")
 

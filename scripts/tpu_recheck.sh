@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# One-shot TPU re-verification after a code change to the hot path.
+#
+# Runs, in order (continuing past failures, logging everything):
+#   1. headline bench (bench.py) — sustained + reference-workload rates
+#   2. the four reference MRR quality gates x 3 seeds (integration tests)
+#   3. large-scale train/eval benches (items10m / items20m_bf16 / ml1m-shaped)
+#   4. serving bench (exact + approximate streamed top-k at 10M/20M)
+#   5. Mosaic-under-shard_map smoke on the real chip
+#
+# Usage: scripts/tpu_recheck.sh [logdir]   (default logdir: /tmp/tpu_recheck)
+# Each step is bounded with `timeout`; a down tunnel fails fast in bench.py's
+# bounded backend retry rather than hanging the whole script.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/tpu_recheck}
+mkdir -p "$LOG"
+overall=0
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date -u +%H:%M:%S)) ==="
+  if timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1; then
+    echo "OK  $name"
+  else
+    echo "FAIL $name (exit $?) — see $LOG/$name.log"
+    overall=1
+  fi
+}
+
+run bench          3600 python bench.py
+run gates          5400 env SBR_RUN_INTEGRATION=1 SBR_TEST_PLATFORM=axon \
+                        python -m pytest tests/test_integration_ml100k.py -s -q
+run large_scale    5400 python benches/large_scale.py
+run serving        3600 python benches/serving.py
+run mesh_pallas    1800 python scripts/tpu_mesh_pallas_fit.py
+
+echo "=== summary ==="
+tail -n 3 "$LOG"/bench.log 2>/dev/null
+grep -E "passed|failed" "$LOG"/gates.log 2>/dev/null | tail -1
+exit $overall
