@@ -9,6 +9,11 @@ the result to ``lstm_results.json`` kept sorted by test MRR (best last).
 Usage::
 
     python examples/lstm_hyperopt.py [--trials N] [--out lstm_results.json]
+                                     [--model lstm|ewma|attention]
+
+``--model`` extends the driver to every model family (each
+``Hyperparameters.random`` draws the same common ranges; attention adds
+depth/heads).
 """
 
 from __future__ import annotations
@@ -25,15 +30,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 import sbr_rs_tpu as sbr
-from sbr_rs_tpu.models import lstm
+from sbr_rs_tpu.models import attention, ewma, lstm
+
+MODEL_FAMILIES = {"lstm": lstm, "ewma": ewma, "attention": attention}
 
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--trials", type=int, default=1000)
-    parser.add_argument("--out", type=str, default="lstm_results.json")
+    parser.add_argument("--out", type=str, default=None)
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument(
+        "--model", choices=sorted(MODEL_FAMILIES), default="lstm"
+    )
     args = parser.parse_args()
+    family = MODEL_FAMILIES[args.model]
+    if args.out is None:
+        args.out = f"{args.model}_results.json"
 
     data = sbr.datasets.download_movielens_100k()
     rng = np.random.default_rng(args.seed)
@@ -48,7 +61,7 @@ def main() -> None:
     for _ in range(args.trials):
         results = json.loads(out.read_text()) if out.exists() else []
 
-        hyper = lstm.Hyperparameters.random(data.num_items, rng)
+        hyper = family.Hyperparameters.random(data.num_items, rng)
         print(f"Running {json.dumps(hyper.to_dict(), indent=2)}")
 
         start = time.perf_counter()
