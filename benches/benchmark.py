@@ -8,7 +8,10 @@ analogue of criterion's warm-up phase).
 
 Usage::
 
-    python benches/benchmark.py [lstm] [ewma]
+    python benches/benchmark.py [lstm] [ewma] [attention]
+
+``attention`` (no reference counterpart) runs the same config on the
+causal-transformer tower for a same-workload comparison.
 """
 
 from __future__ import annotations
@@ -23,9 +26,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 import sbr_rs_tpu as sbr
-from sbr_rs_tpu.models import Loss, Optimizer, ewma, lstm
+from sbr_rs_tpu.models import Loss, Optimizer, attention, ewma, lstm
 
 SAMPLE_SIZE = 10
+FAMILIES = {
+    "lstm": lstm.Hyperparameters,
+    "ewma": ewma.Hyperparameters,
+    "attention": attention.Hyperparameters,
+}
 
 
 def load_movielens_sample(sample_size: int = 10_000):
@@ -41,7 +49,7 @@ def load_movielens_sample(sample_size: int = 10_000):
 
 
 def build(family: str, num_items: int):
-    hp_cls = lstm.Hyperparameters if family == "lstm" else ewma.Hyperparameters
+    hp_cls = FAMILIES[family]
     return (
         hp_cls(num_items, 128)
         .embedding_dim(32)

@@ -58,7 +58,20 @@ def main():
     train, test = train.to_compressed(), test.to_compressed()
 
     grid = []
-    if "--stage2" in sys.argv:
+    if "--stage3" in sys.argv:
+        # Capacity/regularization sweep at the stage-1 winner's optimizer
+        # setting (WARP, Adam, lr 3e-3, cosine, 20 epochs, T=32).
+        for dim in (32, 64):
+            for heads in (1, 2):
+                for batch in (32, 64):
+                    for l2 in (1e-4, 3e-4, 1e-3):
+                        grid.append(dict(
+                            seq_len=32, dim=dim, layers=1, heads=heads,
+                            lr=0.003, l2=l2, epochs=20, batch=batch,
+                            loss=Loss.WARP, opt=Optimizer.ADAM,
+                            schedule="cosine", seed=42,
+                        ))
+    elif "--stage2" in sys.argv:
         # Refinement around the stage-1 winner (WARP, 1 layer, lr 3e-3,
         # l2 1e-4, cosine): lower lr, longer training, longer windows,
         # warmup, batch size.
