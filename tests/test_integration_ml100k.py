@@ -168,6 +168,45 @@ def test_ml100k_mrr_threshold_mesh(ml100k_split):
     assert mrr > 0.074, f"mesh-run MRR {mrr:.4f} <= the reference's 2-thread bar"
 
 
+def test_ml100k_attention_extension_bar(ml100k_split):
+    """Quality bar for the attention EXTENSION family (no reference
+    counterpart, so the thresholds are this repo's own, set from the
+    committed tuning study in scripts/attention_tune.py): the tuned config
+    (WARP, Adam lr 3e-3, l2 3e-4, cosine, 1 layer, T=32) measured
+    0.0958 / 0.0825 / 0.0710 on CPU at seeds 42/123/7. The gate asserts a
+    conservative floor at every seed plus a tighter bar at seed 42, leaving
+    margin for cross-platform float drift."""
+    from sbr_rs_tpu.models import attention
+
+    data, train_mat, test_mat = ml100k_split
+    mrrs = {}
+    for seed in (42, 123, 7):
+        model = (
+            attention.Hyperparameters(data.num_items, 32)
+            .embedding_dim(32)
+            .num_layers(1)
+            .num_heads(1)
+            .learning_rate(0.003)
+            .l2_penalty(3e-4)
+            .loss(Loss.WARP)
+            .optimizer(Optimizer.ADAM)
+            .num_epochs(20)
+            .batch_size(64)
+            .lr_schedule("cosine")
+            .from_seed(seed)
+            .build()
+        )
+        loss = model.fit(train_mat)
+        assert np.isfinite(loss)
+        mrrs[seed] = sbr.evaluation.mrr_score(model, test_mat)
+    print(
+        "test MRR attention_warp: "
+        + " ".join(f"s{s}={m:.4f}" for s, m in mrrs.items())
+    )
+    assert min(mrrs.values()) > 0.06
+    assert mrrs[42] > 0.085
+
+
 @pytest.mark.parametrize("name", list(CONFIGS))
 def test_ml100k_mrr_threshold(name, ml100k_split):
     data, train_mat, test_mat = ml100k_split
