@@ -38,6 +38,44 @@ def _tower_params(dim=8, max_len=16, num_layers=2, num_heads=2, seed=0):
     )
 
 
+def test_matches_numpy_reference():
+    """Golden check: the tower's output equals an independent numpy
+    implementation of the same formula (pre-LN blocks, scaled causal
+    softmax attention, relu FFN, final LN) on small shapes."""
+    dim, heads = 8, 2
+    params = _tower_params(dim=dim, max_len=16, num_layers=2, num_heads=heads, seed=9)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(10), (2, 5, dim)), np.float64)
+    p = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64), params)
+
+    def ln(q, v):
+        mu = v.mean(-1, keepdims=True)
+        var = ((v - mu) ** 2).mean(-1, keepdims=True)
+        return (v - mu) / np.sqrt(var + 1e-6) * q["scale"] + q["bias"]
+
+    b_, t_, d = x.shape
+    hd = d // heads
+    h = x + p["pos"][np.arange(t_)]
+    for layer in p["layers"]:
+        a_in = ln(layer["ln1"], h)
+        qkv = (a_in @ layer["w_qkv"]).reshape(b_, t_, 3, heads, hd)
+        out = np.zeros_like(h)
+        for b in range(b_):
+            for hh in range(heads):
+                q, k, v = (qkv[b, :, i, hh] for i in range(3))
+                logits = q @ k.T / np.sqrt(hd)
+                logits[np.triu_indices(t_, 1)] = -1e9
+                w = np.exp(logits - logits.max(-1, keepdims=True))
+                w /= w.sum(-1, keepdims=True)
+                out[b, :, hh * hd : (hh + 1) * hd] = w @ v
+        h = h + (out.reshape(b_ * t_, d) @ layer["w_o"]).reshape(b_, t_, d)
+        f = np.maximum(ln(layer["ln2"], h) @ layer["w_f1"] + layer["b_f1"], 0.0)
+        h = h + (f @ layer["w_f2"] + layer["b_f2"])
+    want = ln(p["ln_f"], h)
+
+    got = attention_apply(params, jnp.asarray(x, jnp.float32), num_heads=heads)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
 def test_causality():
     """Hidden state at position t must not depend on inputs after t."""
     params = _tower_params()
