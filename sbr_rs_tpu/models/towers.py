@@ -190,19 +190,24 @@ def attention_apply(
     x = x.astype(jnp.float32)
     t_idx = jnp.arange(t_)
     causal = t_idx[None, :] <= t_idx[:, None]  # [T, T]
+    max_len = params["pos"].shape[0]
     if starts is None:
-        pos_idx = jnp.broadcast_to(t_idx, (b_, t_))
+        # Positions are just 0..T-1 — a slice+broadcast, not a [B,T]-index
+        # table gather (row gathers are the step's dominant cost class).
+        if t_ <= max_len:
+            h = x + params["pos"][:t_][None]
+        else:  # beyond the table: clamp tail positions, same as packed
+            idx = jnp.clip(t_idx, 0, max_len - 1)
+            h = x + jnp.take(params["pos"], idx, axis=0)[None]
         mask = jnp.broadcast_to(causal, (b_, 1, t_, t_))
     else:
         s = starts.at[:, 0].set(1.0)  # row position 0 always begins a window
         win_id = jnp.cumsum(s, axis=1)  # [B, T]
         start_pos = jax.lax.cummax(jnp.where(s > 0, t_idx, 0), axis=1)
-        pos_idx = t_idx - start_pos
+        pos_idx = jnp.clip(t_idx - start_pos, 0, max_len - 1)
+        h = x + jnp.take(params["pos"], pos_idx, axis=0)
         same_win = win_id[:, :, None] == win_id[:, None, :]
         mask = (same_win & causal)[:, None]  # [B, 1, T, T]
-
-    pos_idx = jnp.clip(pos_idx, 0, params["pos"].shape[0] - 1)
-    h = x + jnp.take(params["pos"], pos_idx, axis=0)
 
     hd = d // num_heads
     scale = hd**-0.5

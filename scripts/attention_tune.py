@@ -100,7 +100,12 @@ def main():
 
     results = []
     for cfg in grid:
-        mrr, wall = run(train, test, **cfg)
+        try:
+            mrr, wall = run(train, test, **cfg)
+        except sbr.errors.SbrError as exc:
+            # Diverging corners must not abort an hours-long sweep.
+            print(f"config failed ({exc!r}); continuing", flush=True)
+            continue
         results.append((mrr, cfg))
         print(
             f"mrr={mrr:.4f} wall={wall:.0f}s "

@@ -3,7 +3,10 @@
 #
 # Runs, in order (continuing past failures, logging everything):
 #   1. headline bench (bench.py) — sustained + reference-workload rates
-#   2. the four reference MRR quality gates x 3 seeds (integration tests)
+#   2. the integration MRR gates: four reference bars x 3 seeds, the mesh
+#      2-thread bar, and the (non-reference) attention extension bar — a
+#      gates failure is not necessarily a reference-parity regression;
+#      read the failing test name first
 #   3. large-scale train/eval benches (items10m / items20m_bf16 / ml1m-shaped)
 #   4. serving bench (exact + approximate streamed top-k at 10M/20M)
 #   5. Mosaic-under-shard_map smoke on the real chip

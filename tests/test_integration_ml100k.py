@@ -173,9 +173,12 @@ def test_ml100k_attention_extension_bar(ml100k_split):
     counterpart, so the thresholds are this repo's own, set from the
     committed tuning study in scripts/attention_tune.py): the tuned config
     (WARP, Adam lr 3e-3, l2 3e-4, cosine, 1 layer, T=32) measured
-    0.0958 / 0.0825 / 0.0710 on CPU at seeds 42/123/7. The gate asserts a
-    conservative floor at every seed plus a tighter bar at seed 42, leaving
-    margin for cross-platform float drift."""
+    0.0979 / 0.0800 / 0.0764 on CPU at seeds 42/123/7 (gate harness,
+    slice-positional tower). The gate asserts a conservative floor at
+    every seed plus a tighter bar at seed 42. Margins are sized for the
+    documented ±0.01-0.03 cross-platform/seed drift (CLAUDE.md): the bars
+    sit ~0.02 under the CPU measurements, so a first TPU run should not
+    fail for a non-reference reason; tighten after a TPU measurement."""
     from sbr_rs_tpu.models import attention
 
     data, train_mat, test_mat = ml100k_split
@@ -203,8 +206,8 @@ def test_ml100k_attention_extension_bar(ml100k_split):
         "test MRR attention_warp: "
         + " ".join(f"s{s}={m:.4f}" for s, m in mrrs.items())
     )
-    assert min(mrrs.values()) > 0.06
-    assert mrrs[42] > 0.085
+    assert min(mrrs.values()) > 0.05
+    assert mrrs[42] > 0.075
 
 
 @pytest.mark.parametrize("name", list(CONFIGS))
