@@ -32,6 +32,16 @@ class Hyperparameters(base.Hyperparameters):
         super().__init__(num_items, max_sequence_length)
         self._num_layers = 2
         self._num_heads = 1
+        self._dropout = 0.0
+
+    def dropout(self, rate: float) -> "Hyperparameters":
+        """Train-time dropout rate on the embedded input and each residual
+        branch (SASRec placement). 0.0 (default) = fully deterministic
+        training; serving/eval are always deterministic regardless."""
+        if not 0.0 <= rate < 1.0:
+            raise ValueError("dropout must be in [0, 1)")
+        self._dropout = float(rate)
+        return self
 
     def num_layers(self, num_layers: int) -> "Hyperparameters":
         if num_layers < 1:
@@ -57,6 +67,7 @@ class Hyperparameters(base.Hyperparameters):
         hp._num_layers = int(rng.integers(1, 3))
         heads = [h for h in (1, 2, 4) if hp._item_embedding_dim % h == 0]
         hp._num_heads = int(rng.choice(heads))
+        hp._dropout = float(rng.choice([0.0, 0.1, 0.2, 0.3, 0.5]))
         return hp
 
     def to_dict(self) -> dict:
@@ -64,6 +75,7 @@ class Hyperparameters(base.Hyperparameters):
         d["model_type"] = "attention"
         d["num_layers"] = self._num_layers
         d["num_heads"] = self._num_heads
+        d["dropout"] = self._dropout
         return d
 
     @classmethod
@@ -71,6 +83,7 @@ class Hyperparameters(base.Hyperparameters):
         hp = cls._from_dict_common(d)
         hp._num_layers = d.get("num_layers", 2)
         hp._num_heads = d.get("num_heads", 1)
+        hp._dropout = d.get("dropout", 0.0)
         return hp
 
     def build(self) -> "ImplicitAttentionModel":
@@ -99,6 +112,7 @@ class ImplicitAttentionModel(base.ImplicitSequenceModel):
             self.hyper._item_embedding_dim,
             self.hyper._num_layers,
             self.hyper._num_heads,
+            self.hyper._dropout,
         )
 
     def _init_tower(self, key: jax.Array, dim: int) -> Dict:
@@ -111,4 +125,11 @@ class ImplicitAttentionModel(base.ImplicitSequenceModel):
         )
 
     def _tower_fn(self):
-        return functools.partial(attention_apply, num_heads=self.hyper._num_heads)
+        # dropout engages only when the caller passes an rng: the training
+        # engine does (fold_in from the step key), the serving/eval rep fn
+        # does not — so inference through the same partial is deterministic.
+        return functools.partial(
+            attention_apply,
+            num_heads=self.hyper._num_heads,
+            dropout=self.hyper._dropout,
+        )

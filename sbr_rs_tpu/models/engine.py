@@ -152,6 +152,17 @@ def make_train_step(
     num_items = config.num_items
     kind = config.optimizer
 
+    # Towers that take a train-time RNG (the attention tower's dropout) get
+    # one derived by fold_in from the step key — a pure derivation that
+    # leaves every existing key stream (candidate draws, epoch shuffles)
+    # bit-identical, so tuned trajectories of rng-less towers never move.
+    import inspect
+
+    try:
+        tower_accepts_rng = "rng" in inspect.signature(tower_apply).parameters
+    except (TypeError, ValueError):  # builtins / opaque callables
+        tower_accepts_rng = False
+
     def train_step(params, opt_state, key, batch, lr=None, l2=None):
         # lr/l2 may be passed as TRACED scalars so one compiled fit program
         # serves every (lr, l2) trial of a hyperopt sweep — LSTM+WARP
@@ -226,7 +237,13 @@ def make_train_step(
             """
             in_emb, pos_rows = views(rows_s)
 
-            hidden = tower_apply(tower_params, in_emb, starts=starts)  # [B, T, D]
+            if tower_accepts_rng:
+                hidden = tower_apply(
+                    tower_params, in_emb, starts=starts,
+                    rng=jax.random.fold_in(key, 1),
+                )  # [B, T, D]
+            else:
+                hidden = tower_apply(tower_params, in_emb, starts=starts)
             # Score against FUSED rows: hidden augmented with a ones column
             # dots the bias in for free, and the [*, D+1] gathered rows are
             # used as-is — no embedding/bias column slicing (which would

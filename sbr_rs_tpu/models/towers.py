@@ -171,7 +171,9 @@ def attention_apply(
     x: jnp.ndarray,
     *,
     num_heads: int,
+    dropout: float = 0.0,
     starts: "jnp.ndarray | None" = None,
+    rng: "jax.Array | None" = None,
 ) -> jnp.ndarray:
     """Run the causal transformer encoder over ``x [B, T, D]`` → ``[B, T, D]``.
 
@@ -185,6 +187,13 @@ def attention_apply(
     Causality gives this tower the recurrent towers' semantics: the state at
     ``t`` depends only on items ``<= t``, so next-item training targets and
     the serving last-state readout work unchanged.
+
+    ``dropout``/``rng``: inverted dropout on the embedded input and on each
+    residual branch (the SASRec placement — its decisive regularizer on
+    sparse recommendation data). Active only when BOTH ``dropout > 0`` and a
+    key is given; the serving path passes no key, so inference is always
+    deterministic. The training engine derives the key by ``fold_in`` from
+    the step key, leaving every existing RNG stream untouched.
     """
     b_, t_, d = x.shape
     x = x.astype(jnp.float32)
@@ -209,6 +218,17 @@ def attention_apply(
         same_win = win_id[:, :, None] == win_id[:, None, :]
         mask = (same_win & causal)[:, None]  # [B, 1, T, T]
 
+    use_dropout = dropout > 0.0 and rng is not None
+    if use_dropout:
+        keep = 1.0 - dropout
+        drop_keys = iter(jax.random.split(rng, 1 + 2 * len(params["layers"])))
+
+        def drop(v):
+            m = jax.random.bernoulli(next(drop_keys), keep, v.shape)
+            return jnp.where(m, v / keep, 0.0)
+
+        h = drop(h)
+
     hd = d // num_heads
     scale = hd**-0.5
     neg = jnp.float32(-1e9)
@@ -222,12 +242,14 @@ def attention_apply(
         logits = jnp.where(mask, logits, neg)
         attn = jax.nn.softmax(logits, axis=-1)
         ctx = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b_ * t_, d)
-        h = h + (ctx @ layer["w_o"]).reshape(b_, t_, d)
+        branch = (ctx @ layer["w_o"]).reshape(b_, t_, d)
+        h = h + (drop(branch) if use_dropout else branch)
         f_in = _layer_norm(layer["ln2"], h)
         f = jax.nn.relu(
             (f_in.reshape(b_ * t_, d) @ layer["w_f1"]) + layer["b_f1"]
         )
-        h = h + ((f @ layer["w_f2"]) + layer["b_f2"]).reshape(b_, t_, d)
+        branch = ((f @ layer["w_f2"]) + layer["b_f2"]).reshape(b_, t_, d)
+        h = h + (drop(branch) if use_dropout else branch)
 
     return _layer_norm(params["ln_f"], h)
 

@@ -28,12 +28,13 @@ from sbr_rs_tpu.models import Loss, Optimizer, attention  # noqa: E402
 
 
 def run(train, test, *, seq_len, dim, layers, heads, lr, l2, epochs, batch,
-        loss, opt, schedule, seed):
+        loss, opt, schedule, seed, dropout=0.0):
     hp = (
         attention.Hyperparameters(train.num_items, seq_len)
         .embedding_dim(dim)
         .num_layers(layers)
         .num_heads(heads)
+        .dropout(dropout)
         .learning_rate(lr)
         .l2_penalty(l2)
         .loss(loss)
@@ -58,7 +59,18 @@ def main():
     train, test = train.to_compressed(), test.to_compressed()
 
     grid = []
-    if "--stage3" in sys.argv:
+    if "--stage4" in sys.argv:
+        # Dropout (SASRec's decisive regularizer) around the stage-3 winner.
+        for dropout in (0.1, 0.2, 0.3, 0.5):
+            for layers in (1, 2):
+                for epochs in (20, 40):
+                    grid.append(dict(
+                        seq_len=32, dim=32, layers=layers, heads=1,
+                        lr=0.003, l2=3e-4, epochs=epochs, batch=64,
+                        loss=Loss.WARP, opt=Optimizer.ADAM,
+                        schedule="cosine", seed=42, dropout=dropout,
+                    ))
+    elif "--stage3" in sys.argv:
         # Capacity/regularization sweep at the stage-1 winner's optimizer
         # setting (WARP, Adam, lr 3e-3, cosine, 20 epochs, T=32).
         for dim in (32, 64):

@@ -118,6 +118,58 @@ def test_unpacked_equals_trivially_packed():
     np.testing.assert_allclose(plain, marked, rtol=1e-6, atol=1e-6)
 
 
+def test_dropout_semantics():
+    """dropout is a no-op without an rng (the serving path), deterministic
+    given a key, different across keys, and identity at rate 0."""
+    params = _tower_params()
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 7, 8))
+    base = attention_apply(params, x, num_heads=2)
+
+    # rate > 0 but no rng: identity (inference through the same partial).
+    np.testing.assert_array_equal(
+        np.asarray(attention_apply(params, x, num_heads=2, dropout=0.5)),
+        np.asarray(base),
+    )
+    # rate 0 with an rng: identity.
+    np.testing.assert_array_equal(
+        np.asarray(
+            attention_apply(
+                params, x, num_heads=2, dropout=0.0, rng=jax.random.PRNGKey(0)
+            )
+        ),
+        np.asarray(base),
+    )
+    d1 = attention_apply(params, x, num_heads=2, dropout=0.3, rng=jax.random.PRNGKey(1))
+    d1b = attention_apply(params, x, num_heads=2, dropout=0.3, rng=jax.random.PRNGKey(1))
+    d2 = attention_apply(params, x, num_heads=2, dropout=0.3, rng=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
+    assert not np.allclose(d1, base)
+    assert not np.allclose(d1, d2)
+
+
+def test_dropout_fit_trains_and_serves_deterministically():
+    """A dropout fit runs (rng threaded through the engine), and the served
+    representations afterwards are deterministic (no rng on that path)."""
+    inter = _toy_interactions().to_compressed()
+    model = (
+        attention.Hyperparameters(inter.num_items, 8)
+        .embedding_dim(16)
+        .dropout(0.2)
+        .learning_rate(0.05)
+        .loss(Loss.HINGE)
+        .optimizer(Optimizer.ADAM)
+        .num_epochs(2)
+        .batch_size(16)
+        .from_seed(5)
+        .build()
+    )
+    out = model.fit(inter)
+    assert np.isfinite(out)
+    r1 = model.user_representation([1, 2, 3]).user_embedding
+    r2 = model.user_representation([1, 2, 3]).user_embedding
+    np.testing.assert_array_equal(r1, r2)
+
+
 @pytest.mark.parametrize("loss", [Loss.BPR, Loss.HINGE, Loss.WARP])
 def test_attention_fit_runs_all_losses(loss):
     inter = _toy_interactions().to_compressed()
