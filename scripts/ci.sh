@@ -16,8 +16,9 @@ echo "   jax.distributed test and the sharded-pallas parity tests)"
 python -m pytest tests/ -q
 
 echo "== quickstart example (the reference doc-tests its README example,"
-echo "   src/lib.rs:22-58)"
-python examples/quickstart.py
+echo "   src/lib.rs:22-58; forced CPU so the CPU gate is hermetic during"
+echo "   tunnel outages — the --tpu path re-runs real-chip workloads)"
+JAX_PLATFORMS=cpu python examples/quickstart.py
 
 echo "== multichip dryrun (8 virtual CPU devices)"
 JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
