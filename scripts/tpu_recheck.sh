@@ -34,8 +34,8 @@ run() {
 run bench          3600 python bench.py
 run gates          5400 env SBR_RUN_INTEGRATION=1 SBR_TEST_PLATFORM=axon \
                         python -m pytest tests/test_integration_ml100k.py -s -q
-run large_scale    5400 python benches/large_scale.py
-run serving        3600 python benches/serving.py
+run large_scale    5400 python benches/large_scale.py ml1m items2m mesh items10m items20m_bf16
+run serving        3600 python benches/serving.py ml100k items10m items20m_bf16
 run mesh_pallas    1800 python scripts/tpu_mesh_pallas_fit.py
 
 echo "=== summary ==="

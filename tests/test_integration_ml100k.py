@@ -173,12 +173,11 @@ def test_ml100k_attention_extension_bar(ml100k_split):
     counterpart, so the thresholds are this repo's own, set from the
     committed tuning study in scripts/attention_tune.py): the tuned config
     (WARP, Adam lr 3e-3, l2 3e-4, cosine, 1 layer, T=32) measured
-    0.0979 / 0.0800 / 0.0764 on CPU at seeds 42/123/7 (gate harness,
-    slice-positional tower). The gate asserts a conservative floor at
-    every seed plus a tighter bar at seed 42. Margins are sized for the
-    documented ±0.01-0.03 cross-platform/seed drift (CLAUDE.md): the bars
-    sit ~0.02 under the CPU measurements, so a first TPU run should not
-    fail for a non-reference reason; tighten after a TPU measurement."""
+    0.0979 / 0.0800 / 0.0764 on CPU and 0.0934 / 0.0745 / 0.0756 on the
+    real TPU (2026-08-19 recheck) at seeds 42/123/7 (gate harness,
+    slice-positional tower) — observed cross-platform drift ≤0.006/seed.
+    The gate asserts a floor at every seed plus a tighter bar at seed 42,
+    with ~0.01 margin under the worst measurement on either platform."""
     from sbr_rs_tpu.models import attention
 
     data, train_mat, test_mat = ml100k_split
@@ -206,8 +205,8 @@ def test_ml100k_attention_extension_bar(ml100k_split):
         "test MRR attention_warp: "
         + " ".join(f"s{s}={m:.4f}" for s, m in mrrs.items())
     )
-    assert min(mrrs.values()) > 0.05
-    assert mrrs[42] > 0.075
+    assert min(mrrs.values()) > 0.065
+    assert mrrs[42] > 0.08
 
 
 @pytest.mark.parametrize("name", list(CONFIGS))
