@@ -7,7 +7,9 @@
 #      2-thread bar, and the (non-reference) attention extension bar — a
 #      gates failure is not necessarily a reference-parity regression;
 #      read the failing test name first
-#   3. large-scale train/eval benches (items10m / items20m_bf16 / ml1m-shaped)
+#   3. large-scale train/eval benches (ml1m-shaped / items2m / mesh), then
+#      the big-catalog targets (items10m / items20m_bf16) under their own
+#      timeout so a cold compile cache can't starve the smaller targets
 #   4. serving bench (exact + approximate streamed top-k at 10M/20M)
 #   5. Mosaic-under-shard_map smoke on the real chip
 #
@@ -34,7 +36,8 @@ run() {
 run bench          3600 python bench.py
 run gates          5400 env SBR_RUN_INTEGRATION=1 SBR_TEST_PLATFORM=axon \
                         python -m pytest tests/test_integration_ml100k.py -s -q
-run large_scale    5400 python benches/large_scale.py ml1m items2m mesh items10m items20m_bf16
+run large_scale    5400 python benches/large_scale.py ml1m items2m mesh
+run big_catalogs   5400 python benches/large_scale.py items10m items20m_bf16
 run serving        3600 python benches/serving.py ml100k items10m items20m_bf16
 run mesh_pallas    1800 python scripts/tpu_mesh_pallas_fit.py
 

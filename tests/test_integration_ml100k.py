@@ -176,8 +176,11 @@ def test_ml100k_attention_extension_bar(ml100k_split):
     0.0979 / 0.0800 / 0.0764 on CPU and 0.0934 / 0.0745 / 0.0756 on the
     real TPU (2026-08-19 recheck) at seeds 42/123/7 (gate harness,
     slice-positional tower) — observed cross-platform drift ≤0.006/seed.
-    The gate asserts a floor at every seed plus a tighter bar at seed 42,
-    with ~0.01 margin under the worst measurement on either platform."""
+    The gate asserts a floor at every seed plus a tighter bar at seed 42.
+    Floors keep >=0.01 margin under the worst measurement on either
+    platform (worst observed: 0.0745 s123 TPU / 0.0756 s7 TPU / 0.0764 s7
+    CPU -> floor 0.064; s42 worst 0.0934 -> bar 0.08), per the gate-noise
+    policy in CLAUDE.md (seed drift band ±0.01-0.03; advisor r3)."""
     from sbr_rs_tpu.models import attention
 
     data, train_mat, test_mat = ml100k_split
@@ -205,7 +208,7 @@ def test_ml100k_attention_extension_bar(ml100k_split):
         "test MRR attention_warp: "
         + " ".join(f"s{s}={m:.4f}" for s, m in mrrs.items())
     )
-    assert min(mrrs.values()) > 0.065
+    assert min(mrrs.values()) > 0.064
     assert mrrs[42] > 0.08
 
 
