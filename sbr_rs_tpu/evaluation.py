@@ -30,6 +30,91 @@ _USER_BATCH = 512
 _ITEM_CHUNK = 65536
 
 
+def _pallas_eval_enabled(model) -> bool:
+    """Fused score+count kernel on the STREAMED (multi-chunk) eval path:
+    env override > auto (TPU backends, mesh-less). Single-chunk catalogs
+    (every ML-100K quality gate) always use the XLA formulation below, so
+    gate trajectories never move."""
+    import os
+
+    env = os.environ.get("SBR_PALLAS_EVAL")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    return (
+        jax.default_backend() in ("tpu", "axon")
+        and model.hyper._mesh is None
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_catalog_counter_pallas(chunk: int, num_chunks: int, num_items: int):
+    """Fused-kernel variant of :func:`_make_catalog_counter`
+    (:mod:`sbr_rs_tpu.ops.pallas_topk`): per chunk the kernel reduces
+    scores to per-user ``>= target`` counts inside VMEM — the [U, C] score
+    matrix (~41 GB of HBM write+read per 512 users at 10M items) never
+    exists. Seen-item masking moves OUT of the stream: the kernel counts
+    UNMASKED scores and an O(U·P) correction subtracts each distinct seen
+    item whose score clears the target (callers pass DEDUPED prefix rows),
+    adding them back when the target is itself the mask value (a seen
+    held-out item), which reproduces the mask-then-count semantics
+    exactly. The correction and the kernel score rows identically (one
+    f32 contraction of bias-augmented reps against whole fused rows);
+    like the documented target-vs-chunk rounding hazard below, a last-ulp
+    disagreement between two MXU formulations of the same dot could in
+    principle flip one ``>=`` at an exact tie — the reference protocol's
+    already-accepted float hazard class (``src/evaluation.rs:37-41``)."""
+    from .ops import pallas_topk as ptk
+
+    @jax.jit
+    def count_catalog(table, reps, prefix, test_items, test_in_prefix):
+        u = reps.shape[0]
+        rows_t = jnp.take(table, test_items, axis=0)
+        raw = jnp.einsum("ud,ud->u", reps, rows_t[:, :-1]) + rows_t[:, -1]
+        targets = jnp.where(test_in_prefix, _NEG_MIN, raw)
+        reps_aug = jnp.concatenate([reps, jnp.ones((u, 1), reps.dtype)], axis=1)
+
+        def body(c, carry):
+            counts, probe_tot = carry
+            lo = jnp.minimum(c * chunk, num_items - chunk)
+            col_lo = c * chunk - lo
+            tc = jax.lax.dynamic_slice_in_dim(table, lo, chunk, axis=0)
+            probe_local = test_items - lo
+            cnt, probe_sc = ptk.score_count_ge(
+                tc, reps_aug, targets, probe_local, lo, col_lo, num_items
+            )
+            in_window = (probe_local >= col_lo) & (probe_local < chunk)
+            return counts + cnt, probe_tot + jnp.where(in_window, probe_sc, 0.0)
+
+        counts_all, probe_tot = jax.lax.fori_loop(
+            0,
+            num_chunks,
+            body,
+            (jnp.zeros((u,), jnp.int32), jnp.zeros((u,), jnp.float32)),
+        )
+
+        # Seen correction: distinct valid prefix rows, scored with the same
+        # augmented-dot formulation as the kernel.
+        p = prefix.shape[1]
+        seen_rows = (
+            jnp.take(table, jnp.clip(prefix, 0, num_items - 1).reshape(-1), axis=0)
+            .astype(jnp.float32)
+            .reshape(u, p, -1)
+        )
+        seen_sc = jnp.einsum("ue,upe->up", reps_aug, seen_rows)
+        valid = prefix < num_items
+        seen_ge = jnp.sum(
+            ((seen_sc >= targets[:, None]) & valid).astype(jnp.int32), axis=1
+        )
+        n_seen = jnp.sum(valid.astype(jnp.int32), axis=1)
+        counts = counts_all - seen_ge + jnp.where(targets <= _NEG_MIN, n_seen, 0)
+        self_hits = jnp.where(
+            test_in_prefix, 1, (probe_tot >= targets).astype(jnp.int32)
+        )
+        return counts, self_hits, targets
+
+    return count_catalog
+
+
 @functools.lru_cache(maxsize=None)
 def _make_catalog_counter(chunk: int, num_chunks: int, num_items: int):
     """One compiled program per (chunk, catalog) shape that targets + counts
@@ -144,7 +229,6 @@ def _ranks_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -
 
     item_chunk = min(_ITEM_CHUNK, num_items)
     num_chunks = -(-num_items // item_chunk)
-    count_catalog = _make_catalog_counter(item_chunk, num_chunks, num_items)
 
     # Pad prefix lists to a common length, in fixed buckets to bound the
     # number of compiled shapes. Pad value num_items → dropped by scatter.
@@ -164,6 +248,20 @@ def _ranks_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -
         while u_pad < len(users):
             u_pad *= 2
 
+    from .ops import pallas_topk as ptk
+
+    use_pallas = (
+        num_chunks > 1
+        and _pallas_eval_enabled(model)
+        and ptk.count_supported(item_chunk, table.shape[1], u_pad)
+    )
+    if use_pallas:
+        count_catalog = _make_catalog_counter_pallas(
+            item_chunk, num_chunks, num_items
+        )
+    else:
+        count_catalog = _make_catalog_counter(item_chunk, num_chunks, num_items)
+
     all_ranks = []
     for start in range(0, len(users), _USER_BATCH):
         batch_prefixes = prefixes[start : start + _USER_BATCH]
@@ -180,7 +278,11 @@ def _ranks_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -
         prefix_arr = np.full((u_pad, p_pad), num_items, dtype=np.int32)
         test_in_prefix = np.zeros((u_pad,), dtype=bool)
         for i, p in enumerate(batch_prefixes[:u]):
-            prefix_arr[i, : len(p)] = p
+            # Distinct seen ids: the scatter path masks a repeated item at
+            # the same position anyway, and the fused-kernel path's seen
+            # correction must subtract each seen item exactly once.
+            q = np.unique(np.asarray(p, dtype=np.int32))
+            prefix_arr[i, : len(q)] = q
             test_in_prefix[i] = test_items[i] in p
 
         reps = model._representations(batch_prefixes)

@@ -730,8 +730,25 @@ class ImplicitSequenceModel:
     # blow-up stops paying; fall back to per-chunk scatter masking.
     _SERVE_MAX_POSTFILTER_SEEN = 128
 
+    def _pallas_topk_enabled(self) -> bool:
+        """Fused score+group-max kernel on the streamed EXACT path
+        (:mod:`sbr_rs_tpu.ops.pallas_topk`): env override > auto (TPU
+        backends, mesh-less — an opaque custom call cannot be partitioned
+        over a sharded table, so meshes keep the XLA formulation, which
+        the SPMD partitioner shards on its own)."""
+        import os
+
+        env = os.environ.get("SBR_PALLAS_TOPK")
+        if env is not None:
+            return env not in ("0", "false", "off")
+        return (
+            jax.default_backend() in ("tpu", "axon")
+            and self.hyper._mesh is None
+        )
+
     def _build_topk_fn(self, k: int, approximate: bool, recall_target: float):
-        key = (self._rep_fn_cache_key(), k, approximate, recall_target)
+        pallas_topk = self._pallas_topk_enabled()
+        key = (self._rep_fn_cache_key(), k, approximate, recall_target, pallas_topk)
         cached = self._TOPK_FN_CACHE.get(key)
         if cached is not None:
             return cached
@@ -822,20 +839,36 @@ class ImplicitSequenceModel:
                 )
                 cscores = jnp.where(cand < n, cvals, -jnp.inf)
             else:
+                from ..ops import pallas_topk as _ptk
+
+                use_pallas = pallas_topk and _ptk.groupmax_supported(
+                    serve_chunk, table.shape[1], u, group
+                )
 
                 def body(carry, c):
                     vals, gids = carry
                     lo = c * serve_chunk
                     ids = lo + jnp.arange(serve_chunk)
-                    tc = jax.lax.optimization_barrier(
-                        jnp.take(table, ids, axis=0, mode="clip")
-                    ).astype(jnp.float32)
-                    # [C, U] transposed scores: group reduce over sublanes.
-                    st = tc @ reps_aug.T
-                    st = jnp.where((ids < n)[:, None], st, -jnp.inf)
-                    gmax = jnp.max(
-                        st.reshape(groups_per_chunk, group, u), axis=1
-                    ).T  # [U, G]
+                    if use_pallas:
+                        # Fused score+group-max: the [C, U] score matrix
+                        # lives in VMEM tiles only (~2 GB of HBM write+read
+                        # per chunk at U=4096 removed), and bf16 rows upcast
+                        # in VMEM instead of through an HBM convert copy.
+                        tc = jnp.take(table, ids, axis=0, mode="clip")
+                        gmax = _ptk.score_groupmax(
+                            tc, reps_aug, lo, n, group
+                        ).T  # [U, G]
+                    else:
+                        tc = jax.lax.optimization_barrier(
+                            jnp.take(table, ids, axis=0, mode="clip")
+                        ).astype(jnp.float32)
+                        # [C, U] transposed scores: group reduce over
+                        # sublanes.
+                        st = tc @ reps_aug.T
+                        st = jnp.where((ids < n)[:, None], st, -jnp.inf)
+                        gmax = jnp.max(
+                            st.reshape(groups_per_chunk, group, u), axis=1
+                        ).T  # [U, G]
                     cv, cp = jax.lax.top_k(gmax, min(kk, groups_per_chunk))
                     cg = c * groups_per_chunk + cp
                     mv = jnp.concatenate([vals, cv], axis=1)

@@ -1,0 +1,301 @@
+"""Fused catalog-scoring kernels for the streamed serving/eval paths.
+
+The streamed top-k (``models/base.py:_build_topk_fn``) and the streamed MRR
+counter (``evaluation.py``) both score catalog chunks against a batch of
+user representations (the TPU-native replacement for the reference's
+per-item ``simd_dot`` serving loop, ``src/models/sequence_model.rs:213-232``
+and ``src/evaluation.rs:12-48``). In pure XLA each chunk materializes a
+``[C, U]`` (or ``[U, C]``) score matrix in HBM only to immediately reduce
+it — at the serving bench shape (10M items, U=4096, chunk=128Ki) that is
+~2 GB written + re-read per chunk, ~330 GB per batch, several times the
+rest of the program's traffic combined.
+
+These kernels fuse the score matmul with its reduction so score tiles live
+and die in VMEM (the flash-attention structure, applied to retrieval):
+
+* :func:`score_groupmax` — scores a chunk and emits per-128-row GROUP
+  maxima ``[G, U]`` for the exact two-phase top-k's phase 1. Output is
+  ``C/128 * U`` floats instead of ``C * U``: 128x less HBM traffic.
+* :func:`score_count_ge` — scores a chunk and emits per-user counts of
+  items with ``score >= target`` for the streamed MRR rank counter, plus
+  the scores of each user's (clamped) probe item so the caller keeps the
+  reference's chunk-local self-tie semantics. Output is ``O(U)``.
+
+Both kernels compute scores as one f32 MXU contraction of bias-augmented
+representations against whole fused ``[*, D+1]`` table rows — the same
+formulation as the XLA paths they replace (no embedding/bias column split,
+which would force a relayout copy of every row). Storage-dtype (bf16)
+tables are upcast to f32 inside VMEM, so the HBM-side convert copy of each
+chunk disappears too.
+
+Each entry point has an XLA fallback (`*_xla`) used on non-TPU backends,
+under meshes (an opaque custom call cannot be partitioned), and for shapes
+that don't satisfy the tile constraints; equivalence is pinned in
+``tests/test_pallas_topk.py`` (interpret mode) and the whole serving path
+in ``tests/test_models.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# --------------------------------------------------------------------------
+# score + group-max (serving top-k phase 1)
+# --------------------------------------------------------------------------
+
+
+def score_groupmax_xla(
+    chunk_rows: jnp.ndarray,
+    reps_aug: jnp.ndarray,
+    lo,
+    n: int,
+    group: int,
+) -> jnp.ndarray:
+    """Reference formulation: ``[G, U]`` group maxima of chunk scores.
+
+    ``chunk_rows`` is a ``[C, Cc]`` slab of the fused table (rows past the
+    catalog end are clip-duplicates — masked here by global id), ``reps_aug``
+    is ``[U, Cc]`` bias-augmented f32 representations, ``lo`` the chunk's
+    first global row id (traced ok), ``n`` the catalog size.
+    """
+    c = chunk_rows.shape[0]
+    u = reps_aug.shape[0]
+    st = chunk_rows.astype(jnp.float32) @ reps_aug.T  # [C, U]
+    ids = lo + jnp.arange(c)
+    st = jnp.where((ids < n)[:, None], st, -jnp.inf)
+    return jnp.max(st.reshape(c // group, group, u), axis=1)  # [G, U]
+
+
+def _groupmax_kernel(lo_ref, rows_ref, reps_ref, out_ref, *, group, n, r_blk):
+    i = pl.program_id(0)
+    rows = rows_ref[:].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        rows,
+        reps_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, UT]
+    gid = lo_ref[0] + i * r_blk + jax.lax.broadcasted_iota(
+        jnp.int32, (r_blk, 1), 0
+    )
+    scores = jnp.where(gid < n, scores, -jnp.inf)
+    out_ref[:] = jnp.max(scores.reshape(r_blk // group, group, -1), axis=1)
+
+
+# Row-block height: 16 groups of 128 rows = 2048. With UT=512 the VMEM
+# working set is rows 1 MB (f32 Cc=128) + reps 0.25 MB + scores 4 MB +
+# pipelining headroom — comfortably under the ~16 MB budget up to Cc=512.
+_R_BLK = 2048
+_U_TILE = 512
+
+
+def groupmax_supported(c: int, cc: int, u: int, group: int) -> bool:
+    """Static shape gate for the Pallas path."""
+    return (
+        group == 128
+        and c % _R_BLK == 0
+        and cc <= 512
+        and u >= 1
+    )
+
+
+def score_groupmax(
+    chunk_rows: jnp.ndarray,
+    reps_aug: jnp.ndarray,
+    lo,
+    n: int,
+    group: int,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused-kernel ``[G, U]`` group maxima (see module docstring).
+
+    Call :func:`groupmax_supported` first; unsupported shapes must use
+    :func:`score_groupmax_xla`.
+    """
+    c, cc = chunk_rows.shape
+    u = reps_aug.shape[0]
+    assert groupmax_supported(c, cc, u, group)
+    # User tile: full batch when small, 512-wide tiles when large. Padding
+    # users with zero reps is harmless — their outputs are sliced away.
+    if u >= _U_TILE:
+        ut = _U_TILE
+        u_pad = _round_up(u, ut)
+    else:
+        u_pad = _round_up(u, 8)
+        ut = u_pad
+    if u_pad != u:
+        reps_aug = jnp.pad(reps_aug, ((0, u_pad - u), (0, 0)))
+
+    g_blk = _R_BLK // group
+    grid = (c // _R_BLK, u_pad // ut)
+    lo_arr = jnp.reshape(jnp.asarray(lo, jnp.int32), (1,))
+
+    import functools
+
+    out = pl.pallas_call(
+        functools.partial(_groupmax_kernel, group=group, n=n, r_blk=_R_BLK),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_R_BLK, cc), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ut, cc), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (g_blk, ut), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((c // group, u_pad), jnp.float32),
+        interpret=interpret,
+    )(lo_arr, chunk_rows, reps_aug)
+    return out[:, :u]
+
+
+# --------------------------------------------------------------------------
+# score + rank count (streamed MRR evaluation)
+# --------------------------------------------------------------------------
+
+
+def score_count_ge_xla(
+    chunk_rows: jnp.ndarray,
+    reps_aug: jnp.ndarray,
+    targets: jnp.ndarray,
+    probe_local: jnp.ndarray,
+    lo,
+    col_lo,
+    n: int,
+):
+    """Reference formulation for the fused eval chunk reduction.
+
+    Returns ``(counts [U] int32, probe_scores [U] f32)`` where ``counts``
+    is the number of VALID chunk columns (global id < ``n``, local column
+    >= ``col_lo`` — the clamped-final-chunk overlap exclusion) whose score
+    is ``>= targets[u]``, and ``probe_scores[u]`` is the chunk's own score
+    of local column ``probe_local[u]`` (clamped into range; the caller
+    decides whether the probe was actually in-window).
+    """
+    c = chunk_rows.shape[0]
+    st = chunk_rows.astype(jnp.float32) @ reps_aug.T  # [C, U]
+    ids = lo + jnp.arange(c)
+    valid = (ids < n) & (jnp.arange(c) >= col_lo)
+    counts = jnp.sum(
+        ((st >= targets[None, :]) & valid[:, None]).astype(jnp.int32), axis=0
+    )
+    u = reps_aug.shape[0]
+    probe = jnp.clip(probe_local, 0, c - 1)
+    probe_scores = st[probe, jnp.arange(u)]
+    return counts, probe_scores
+
+
+def _count_kernel(
+    lo_ref, col_lo_ref, rows_ref, reps_ref, targets_ref, probe_ref,
+    counts_ref, probe_ref_out, *, n, r_blk, c_total,
+):
+    # Grid is (user tiles, row blocks) with row blocks INNERMOST so the
+    # [1, UT] accumulators stay VMEM-resident across one user tile's whole
+    # stream of row blocks.
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+        probe_ref_out[:] = jnp.zeros_like(probe_ref_out)
+
+    rows = rows_ref[:].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        rows,
+        reps_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, UT]
+    local = i * r_blk + jax.lax.broadcasted_iota(jnp.int32, (r_blk, 1), 0)
+    valid = ((lo_ref[0] + local) < n) & (local >= col_lo_ref[0])
+    ge = (scores >= targets_ref[0:1, :]) & valid
+    counts_ref[0:1, :] += jnp.sum(ge.astype(jnp.int32), axis=0, keepdims=True)
+
+    # Probe score: each user's (clamped) probe column contributes from
+    # exactly one row block; select it arithmetically (a [R, UT] one-hot
+    # multiply-sum — dynamic per-user row reads are the measured-killed
+    # pattern, see scripts/cand_gather_probe.py).
+    probe = jnp.clip(probe_ref[0:1, :], 0, c_total - 1)  # [1, UT]
+    hit = local == probe  # [R, UT] broadcast
+    probe_ref_out[0:1, :] += jnp.sum(
+        jnp.where(hit, scores, 0.0), axis=0, keepdims=True
+    )
+
+
+def count_supported(c: int, cc: int, u: int) -> bool:
+    return c % _R_BLK == 0 and cc <= 512 and u >= 1
+
+
+def score_count_ge(
+    chunk_rows: jnp.ndarray,
+    reps_aug: jnp.ndarray,
+    targets: jnp.ndarray,
+    probe_local: jnp.ndarray,
+    lo,
+    col_lo,
+    n: int,
+    *,
+    interpret: bool = False,
+):
+    """Fused-kernel streamed rank count (see :func:`score_count_ge_xla`)."""
+    c, cc = chunk_rows.shape
+    u = reps_aug.shape[0]
+    assert count_supported(c, cc, u)
+    if u >= _U_TILE:
+        ut = _U_TILE
+        u_pad = _round_up(u, ut)
+    else:
+        u_pad = _round_up(u, 8)
+        ut = u_pad
+    if u_pad != u:
+        reps_aug = jnp.pad(reps_aug, ((0, u_pad - u), (0, 0)))
+        # Padding users: +inf target -> zero counts; probe 0 is in range.
+        targets = jnp.pad(targets, (0, u_pad - u), constant_values=jnp.inf)
+        probe_local = jnp.pad(probe_local, (0, u_pad - u))
+
+    grid = (c // _R_BLK, u_pad // ut)
+    lo_arr = jnp.reshape(jnp.asarray(lo, jnp.int32), (1,))
+    col_lo_arr = jnp.reshape(jnp.asarray(col_lo, jnp.int32), (1,))
+
+    import functools
+
+    counts, probe_scores = pl.pallas_call(
+        functools.partial(_count_kernel, n=n, r_blk=_R_BLK, c_total=c),
+        grid=(grid[1], grid[0]),  # users outer, row blocks inner: the
+        # [1, UT] accumulators stay VMEM-resident across the whole stream
+        # of row blocks for one user tile.
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_R_BLK, cc), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ut, cc), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ut), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ut), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ut), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ut), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, u_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, u_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        lo_arr,
+        col_lo_arr,
+        chunk_rows,
+        reps_aug,
+        targets[None, :],
+        probe_local[None, :].astype(jnp.int32),
+    )
+    return counts[0, :u], probe_scores[0, :u]

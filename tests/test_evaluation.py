@@ -97,6 +97,41 @@ def test_batched_chunking_invariance(monkeypatch):
     np.testing.assert_array_equal(full, chunked)
 
 
+def test_batched_pallas_streamed_matches_generic(monkeypatch):
+    """The fused-kernel streamed counter (score_count_ge + out-of-stream
+    seen correction) must agree rank-for-rank with the reference-shaped
+    per-user loop, including duplicate seen items (the correction must
+    subtract each distinct id once) and held-out items that were already
+    seen (target = mask value; counts must be the full catalog)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    num_users, num_items = 40, 5000
+    rng = np.random.default_rng(0)
+    users, items, ts = [], [], []
+    for u in range(num_users):
+        h = rng.integers(0, num_items, int(rng.integers(3, 10))).tolist()
+        if u % 5 == 0:
+            h[-1] = h[0]  # held-out item in the prefix
+        if u % 3 == 0 and len(h) > 2:
+            h[1] = h[0]  # duplicate seen item
+        users += [u] * len(h)
+        items += h
+        ts += list(range(len(h)))
+    inter = D.Interactions.from_arrays(
+        np.asarray(users), np.asarray(items), np.asarray(ts), num_users, num_items
+    ).to_compressed()
+    model = (
+        ewma.Hyperparameters(num_items, 8).num_epochs(1).from_seed(0).build()
+    )
+    model.fit(inter)
+    monkeypatch.setattr(evaluation, "_ITEM_CHUNK", 2048)  # 3 chunks, clamped tail
+    monkeypatch.setenv("SBR_PALLAS_EVAL", "1")
+    with pltpu.force_tpu_interpret_mode():
+        fast = evaluation._ranks_batched(model, inter)
+    slow = evaluation._ranks_generic(model, inter)
+    np.testing.assert_array_equal(fast, slow)
+
+
 def test_users_with_single_item_skipped():
     inter = D.Interactions.from_arrays(
         np.array([0, 1, 1, 1]),

@@ -395,6 +395,40 @@ def test_recommend_batch_chunked_matches_dense(monkeypatch):
     finally:
         ImplicitSequenceModel._TOPK_FN_CACHE.clear()
 
+def test_recommend_batch_pallas_streamed_matches_dense(monkeypatch):
+    """The FUSED-KERNEL streamed top-k (score+group-max in VMEM,
+    ops/pallas_topk.py) must equal the dense full-catalog argsort, like the
+    XLA streamed path it replaces on TPU — run here in interpret mode with
+    a 2048-row chunk (the kernel's minimum row block)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sbr_rs_tpu.models.base import ImplicitSequenceModel
+
+    num_items = 5000  # 3 chunks of 2048 with a clamped final chunk
+    model = (
+        lstm.Hyperparameters(num_items, 8).embedding_dim(16).num_epochs(1)
+        .batch_size(16).from_seed(11).build()
+    )
+    monkeypatch.setattr(ImplicitSequenceModel, "_SERVE_ITEM_CHUNK", 2048)
+    monkeypatch.setenv("SBR_PALLAS_TOPK", "1")
+    ImplicitSequenceModel._TOPK_FN_CACHE.clear()
+    try:
+        histories = [[1, 2, 3], [4090, 4999], [], list(range(0, 5000, 400))]
+        with pltpu.force_tpu_interpret_mode():
+            got = model.recommend_batch(histories, k=6)
+        for h, g in zip(histories, got):
+            rep = model.user_representation(h)
+            scores = np.array(model.predict(rep))
+            if h:
+                scores[np.asarray(h)] = -np.inf
+            want = list(np.argsort(-scores, kind="stable")[:6])
+            assert g == want, (h, g, want)
+            assert not set(g) & set(h)
+            assert len(set(g)) == 6
+    finally:
+        ImplicitSequenceModel._TOPK_FN_CACHE.clear()
+
+
 def test_recommend_batch_bigseen_and_approx_paths(monkeypatch):
     """The wide-seen fallback (S > _SERVE_MAX_POSTFILTER_SEEN: per-chunk
     scatter masking + full merge) must equal the dense reference; the

@@ -1,0 +1,82 @@
+"""Interpret-mode equivalence of the fused catalog-scoring kernels
+(:mod:`sbr_rs_tpu.ops.pallas_topk`) against their XLA reference
+formulations — the repo invariant that every Pallas kernel ships with a
+fallback and an equivalence test (CLAUDE.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbr_rs_tpu.ops import pallas_topk as ptk
+
+
+def _mk(c, cc, u, n, dtype="float32", seed=0):
+    rng = np.random.default_rng(seed)
+    table = rng.normal(size=(n, cc)).astype(np.float32)
+    # Chunk rows as the serving path builds them: clip-gather so rows past
+    # the catalog end duplicate the last row.
+    ids = np.minimum(np.arange(c), n - 1)
+    chunk = jnp.asarray(table[ids]).astype(dtype)
+    reps = jnp.asarray(rng.normal(size=(u, cc)).astype(np.float32))
+    return chunk, reps
+
+
+@pytest.mark.parametrize("u", [1, 7, 512, 520])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_groupmax_matches_xla(u, dtype):
+    c, cc, n = 2048, 33, 3000  # one row block; n < lo + c exercises masking
+    lo = 1024
+    chunk, reps = _mk(c, cc, u, n, dtype=dtype)
+    assert ptk.groupmax_supported(c, cc, u, 128)
+    want = ptk.score_groupmax_xla(chunk, reps, lo, n, 128)
+    got = ptk.score_groupmax(chunk, reps, lo, n, 128, interpret=True)
+    assert got.shape == want.shape == (c // 128, u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_groupmax_multiblock():
+    # Multiple row blocks AND multiple user tiles in one call.
+    c, cc, u, n = 4096, 128, 1024, 100_000
+    lo = 0
+    chunk, reps = _mk(c, cc, u, n)
+    want = ptk.score_groupmax_xla(chunk, reps, lo, n, 128)
+    got = ptk.score_groupmax(chunk, reps, lo, n, 128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_groupmax_unsupported_shapes():
+    assert not ptk.groupmax_supported(1024, 33, 8, 128)  # c % 2048 != 0
+    assert not ptk.groupmax_supported(2048, 33, 8, 64)  # group != 128
+    assert not ptk.groupmax_supported(2048, 1024, 8, 128)  # cc too wide
+
+
+@pytest.mark.parametrize("u", [1, 5, 512])
+def test_count_ge_matches_xla(u):
+    c, cc, n = 2048, 65, 3500
+    lo = 2048  # final clamped chunk: lo + c > n
+    col_lo = 596
+    rng = np.random.default_rng(3)
+    chunk, reps = _mk(c, cc, u, n, seed=3)
+    targets = jnp.asarray(rng.normal(size=(u,)).astype(np.float32))
+    probe = jnp.asarray(rng.integers(-5, c + 5, size=(u,)).astype(np.int32))
+    want_c, want_p = ptk.score_count_ge_xla(chunk, reps, targets, probe, lo, col_lo, n)
+    got_c, got_p = ptk.score_count_ge(
+        chunk, reps, targets, probe, lo, col_lo, n, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p), rtol=1e-6)
+
+
+def test_count_ge_ties_count():
+    # Exact ties at the target must count (>=, reference ties-against rule).
+    c, cc, u, n = 2048, 16, 8, 2048
+    chunk, reps = _mk(c, cc, u, n, seed=5)
+    # Make user 0's target exactly equal to item 7's score.
+    s7 = (chunk.astype(jnp.float32) @ reps.T)[7, 0]
+    targets = jnp.full((u,), jnp.inf, jnp.float32).at[0].set(s7)
+    probe = jnp.zeros((u,), jnp.int32)
+    got_c, _ = ptk.score_count_ge(chunk, reps, targets, probe, 0, 0, n, interpret=True)
+    want_c, _ = ptk.score_count_ge_xla(chunk, reps, targets, probe, 0, 0, n)
+    assert int(got_c[0]) == int(want_c[0]) >= 1
+    assert int(got_c[1]) == 0
