@@ -985,7 +985,8 @@ class ImplicitSequenceModel:
         exclude_seen: bool = True,
         approximate: bool = False,
         recall_target: float = 0.95,
-    ) -> List[List[int]]:
+        return_scores: bool = False,
+    ):
         """Batched :meth:`recommend`: top-``k`` next items for MANY
         histories in one device program — representations, full-catalog
         scoring, seen-item masking, and the top-k all run on device (the
@@ -996,9 +997,15 @@ class ImplicitSequenceModel:
         the TPU-native ``lax.approx_max_k`` PartialReduce: returned items
         and scores are real, but each catalog chunk's recall is only
         guaranteed >= ``recall_target`` — the standard serving trade at
-        10M+ item scale. Default is EXACT selection."""
+        10M+ item scale. Default is EXACT selection.
+
+        ``return_scores=True`` additionally returns the items' scores
+        (``dot(user, emb) + bias``, the same quantity :meth:`predict`
+        computes, carried by the top-k program anyway; different program
+        formulations of the dot may differ in the last float ulp) as a
+        second ``[U, k]`` float array."""
         if not histories:
-            return []
+            return ([], np.zeros((0, k), np.float32)) if return_scores else []
         u = len(histories)
         reps = self._representations(histories)
 
@@ -1016,11 +1023,13 @@ class ImplicitSequenceModel:
 
         k = min(k, n)
         topk_fn = self._build_topk_fn(k, approximate, recall_target)
-        _, idx = topk_fn(
+        vals, idx = topk_fn(
             self._params,
             jnp.asarray(reps.astype(np.float32)),
             jnp.asarray(seen),
         )
+        if return_scores:
+            return np.asarray(idx).tolist(), np.asarray(vals)
         return np.asarray(idx).tolist()
 
     def predict(self, user: ImplicitUser, item_ids: "Sequence[int] | None" = None) -> np.ndarray:

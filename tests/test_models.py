@@ -429,6 +429,65 @@ def test_recommend_batch_pallas_streamed_matches_dense(monkeypatch):
         ImplicitSequenceModel._TOPK_FN_CACHE.clear()
 
 
+def test_recommend_batch_return_scores():
+    """return_scores must hand back the same dot(user, emb) + bias values
+    predict computes, aligned with the returned ids."""
+    num_items = 30
+    inter = _toy_interactions(num_users=10, num_items=num_items).to_compressed()
+    model = (
+        lstm.Hyperparameters(num_items, 8).embedding_dim(16).num_epochs(1)
+        .batch_size(16).from_seed(2).build()
+    )
+    model.fit(inter)
+    histories = [[1, 2, 3], [7]]
+    ids, scores = model.recommend_batch(histories, k=4, return_scores=True)
+    assert scores.shape == (2, 4)
+    for h, row_ids, row_scores in zip(histories, ids, scores):
+        rep = model.user_representation(h)
+        want = np.asarray(model.predict(rep, row_ids))
+        np.testing.assert_allclose(row_scores, want, rtol=1e-5)
+        assert list(row_scores) == sorted(row_scores, reverse=True)
+    assert model.recommend_batch([], k=4, return_scores=True)[0] == []
+
+
+def test_streamed_topk_exact_under_adversarial_ties(monkeypatch):
+    """Two-phase group-max selection with EXACT duplicate scores spanning
+    group boundaries: returned VALUES must match the dense argsort's top-k
+    values (ties at the k-th value may legitimately pick different ids)."""
+    from sbr_rs_tpu.models.base import ImplicitSequenceModel
+
+    num_items = 40
+    inter = _toy_interactions(num_users=10, num_items=num_items).to_compressed()
+    model = (
+        lstm.Hyperparameters(num_items, 8).embedding_dim(16).num_epochs(1)
+        .batch_size(16).from_seed(3).build()
+    )
+    model.fit(inter)
+    # Force massive score ties: duplicate table rows across chunk/group
+    # boundaries (chunk 8 below). Every duplicated row scores identically
+    # for every user.
+    tbl = np.array(model._params["item_table"])  # writable copy
+    tbl[10:20] = tbl[0:10]
+    tbl[25:30] = tbl[0:5]
+    import jax.numpy as _jnp
+
+    model._params["item_table"] = _jnp.asarray(tbl)
+    monkeypatch.setattr(ImplicitSequenceModel, "_SERVE_ITEM_CHUNK", 8)
+    ImplicitSequenceModel._TOPK_FN_CACHE.clear()
+    try:
+        histories = [[0], [5, 6], [39]]
+        ids, scores = model.recommend_batch(
+            histories, k=6, exclude_seen=False, return_scores=True
+        )
+        for h, row_ids, row_scores in zip(histories, ids, scores):
+            rep = model.user_representation(h)
+            dense = np.sort(np.asarray(model.predict(rep)))[::-1][:6]
+            np.testing.assert_allclose(row_scores, dense, rtol=1e-5)
+            assert len(set(row_ids)) == 6  # distinct ids even under ties
+    finally:
+        ImplicitSequenceModel._TOPK_FN_CACHE.clear()
+
+
 def test_recommend_batch_bigseen_and_approx_paths(monkeypatch):
     """The wide-seen fallback (S > _SERVE_MAX_POSTFILTER_SEEN: per-chunk
     scatter masking + full merge) must equal the dense reference; the
