@@ -75,7 +75,7 @@ class Parallelism(enum.Enum):
     SYNCHRONOUS = "synchronous"
 
 
-from . import attention, ewma, lstm  # noqa: E402  (re-exported submodules)
+from . import attention, ewma, gru, lstm  # noqa: E402  (re-exported submodules)
 
 __all__ = [
     "ImplicitUser",
@@ -85,5 +85,6 @@ __all__ = [
     "Parallelism",
     "attention",
     "ewma",
+    "gru",
     "lstm",
 ]

@@ -112,6 +112,70 @@ def lstm_apply(
 
 
 # ---------------------------------------------------------------------------
+# GRU
+# ---------------------------------------------------------------------------
+
+
+def init_gru(key: jax.Array, dim: int) -> Dict[str, jnp.ndarray]:
+    """GRU cell parameters with fused gate matrices, gate order ``[r, z, n]``
+    (reset, update, candidate — the GRU4Rec cell; no counterpart in the
+    reference, whose towers are LSTM and EWMA). Same conventions as
+    :func:`init_lstm`: per-gate Glorot blocks fused to ``[dim, 3*dim]`` for
+    one MXU matmul, a single x-side bias."""
+    k_x, k_h = jax.random.split(key)
+    w_x = jnp.concatenate(
+        [_glorot(k, (dim, dim)) for k in jax.random.split(k_x, 3)], axis=1
+    )
+    w_h = jnp.concatenate(
+        [_glorot(k, (dim, dim)) for k in jax.random.split(k_h, 3)], axis=1
+    )
+    b = jnp.zeros((3 * dim,), dtype=jnp.float32)
+    return {"w_x": w_x, "w_h": w_h, "b": b}
+
+
+def gru_apply(
+    params: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    *,
+    starts: "jnp.ndarray | None" = None,
+) -> jnp.ndarray:
+    """Run the GRU over ``x [B, T, D]`` returning hidden states ``[B, T, D]``.
+
+    ``r = sigmoid(x W_xr + h W_hr + b_r)``; ``z`` likewise;
+    ``n = tanh(x W_xn + b_n + r * (h W_hn))``;
+    ``h' = (1 - z) * n + z * h`` with ``h_0 = 0``.
+
+    ``starts [B, T]`` (packed batches): 1.0 where a new window begins —
+    the carry resets there, the same contract as :func:`lstm_apply`.
+    """
+    b_, t_, d = x.shape
+    xz = (x.reshape(b_ * t_, d) @ params["w_x"]).reshape(b_, t_, -1) + params["b"]
+    xz = xz.swapaxes(0, 1)  # [T, B, 3D]
+    w_h = params["w_h"]
+    keep = None if starts is None else (1.0 - starts).swapaxes(0, 1)[..., None]
+
+    def cell(h, xs):
+        if starts is None:
+            xz_t = xs
+        else:
+            xz_t, keep_t = xs
+            h = h * keep_t
+        hz = h @ w_h  # [B, 3D]
+        xr, xu, xn = jnp.split(xz_t, 3, axis=-1)
+        hr, hu, hn = jnp.split(hz, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xu + hu)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    init = jnp.zeros((b_, d), dtype=jnp.float32)
+    xs = xz if starts is None else (xz, keep)
+    _, hidden = jax.lax.scan(cell, init, xs)
+    return hidden.swapaxes(0, 1)  # [B, T, D]
+
+
+# ---------------------------------------------------------------------------
 # Causal self-attention (SASRec-style transformer encoder)
 # ---------------------------------------------------------------------------
 

@@ -55,7 +55,7 @@ def save_model(model, path: str) -> None:
 
 
 def load_model(path: str):
-    from ..models import attention, ewma, lstm
+    from ..models import attention, ewma, gru, lstm
 
     p = Path(path)
     config = json.loads((p / "config.json").read_text())
@@ -75,6 +75,8 @@ def load_model(path: str):
         hyper = ewma.Hyperparameters.from_dict(config)
     elif model_type == "attention":
         hyper = attention.Hyperparameters.from_dict(config)
+    elif model_type == "gru":
+        hyper = gru.Hyperparameters.from_dict(config)
     else:
         raise ValueError(f"Unknown model_type: {model_type}")
 

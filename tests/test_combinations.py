@@ -10,7 +10,7 @@ import pytest
 
 import sbr_rs_tpu as sbr
 from sbr_rs_tpu import data as D
-from sbr_rs_tpu.models import Loss, Optimizer, ewma, lstm
+from sbr_rs_tpu.models import Loss, Optimizer, ewma, gru, lstm
 from sbr_rs_tpu.parallel import make_mesh
 
 
@@ -33,6 +33,8 @@ CASES = [
     (ewma, Loss.HINGE, Optimizer.ADAGRAD, False, "bfloat16", True, True),
     (lstm, Loss.HINGE, Optimizer.ADAM, False, "float32", True, True),
     (ewma, Loss.BPR, Optimizer.ADAGRAD, True, "float32", True, False),
+    (gru, Loss.WARP, Optimizer.ADAM, True, "float32", False, None),
+    (gru, Loss.HINGE, Optimizer.ADAGRAD, True, "bfloat16", True, True),
 ]
 
 
