@@ -8,7 +8,7 @@ analogue of criterion's warm-up phase).
 
 Usage::
 
-    python benches/benchmark.py [lstm] [ewma] [attention]
+    python benches/benchmark.py [lstm] [ewma] [attention] [gru]
 
 ``attention`` (no reference counterpart) runs the same config on the
 causal-transformer tower for a same-workload comparison.
@@ -26,13 +26,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 import sbr_rs_tpu as sbr
-from sbr_rs_tpu.models import Loss, Optimizer, attention, ewma, lstm
+from sbr_rs_tpu.models import Loss, Optimizer, attention, ewma, gru, lstm
 
 SAMPLE_SIZE = 10
 FAMILIES = {
     "lstm": lstm.Hyperparameters,
     "ewma": ewma.Hyperparameters,
     "attention": attention.Hyperparameters,
+    "gru": gru.Hyperparameters,
 }
 
 

@@ -9,7 +9,7 @@ the result to ``lstm_results.json`` kept sorted by test MRR (best last).
 Usage::
 
     python examples/lstm_hyperopt.py [--trials N] [--out lstm_results.json]
-                                     [--model lstm|ewma|attention]
+                                     [--model lstm|ewma|attention|gru]
 
 ``--model`` extends the driver to every model family (each
 ``Hyperparameters.random`` draws the same common ranges; attention adds
@@ -30,9 +30,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 import sbr_rs_tpu as sbr
-from sbr_rs_tpu.models import attention, ewma, lstm
+from sbr_rs_tpu.models import attention, ewma, gru, lstm
 
-MODEL_FAMILIES = {"lstm": lstm, "ewma": ewma, "attention": attention}
+MODEL_FAMILIES = {"lstm": lstm, "ewma": ewma, "attention": attention, "gru": gru}
 
 
 def main() -> None:

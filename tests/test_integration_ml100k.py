@@ -168,6 +168,48 @@ def test_ml100k_mrr_threshold_mesh(ml100k_split):
     assert mrr > 0.074, f"mesh-run MRR {mrr:.4f} <= the reference's 2-thread bar"
 
 
+def test_ml100k_gru_extension_bar(ml100k_split):
+    """Quality bar for the GRU EXTENSION family (no reference counterpart;
+    thresholds are this repo's own, from the committed tuning study in
+    scripts/gru_tune.py / gru_tune.json — 27 TPU trials over
+    (batch, schedule, optimizer) x lr x l2): the tuned config (WARP, Adam
+    lr 0.01, l2 0.03, cosine, batch 16, 40 epochs, T=128, dim 32)
+    measured 0.1195 / 0.1037 / 0.1056 at seeds 42/123/7 on the real TPU
+    (2026-08-19) — every seed above even the reference's own lstm_warp
+    0.10 bar — and 0.1117 / 0.0969 / 0.0889 on CPU (cross-platform drift
+    up to 0.017/seed for this family). Floors keep >=0.01 margin under
+    the worst measurement on either platform per the gate-noise policy
+    in CLAUDE.md: floor 0.078 (worst 0.0889, CPU s7), s42 bar 0.10
+    (worst 0.1117, CPU)."""
+    from sbr_rs_tpu.models import gru
+
+    data, train_mat, test_mat = ml100k_split
+    mrrs = {}
+    for seed in (42, 123, 7):
+        model = (
+            gru.Hyperparameters(data.num_items, 128)
+            .embedding_dim(32)
+            .learning_rate(0.01)
+            .l2_penalty(0.03)
+            .loss(Loss.WARP)
+            .optimizer(Optimizer.ADAM)
+            .num_epochs(40)
+            .batch_size(16)
+            .lr_schedule("cosine")
+            .from_seed(seed)
+            .build()
+        )
+        loss = model.fit(train_mat)
+        assert np.isfinite(loss)
+        mrrs[seed] = sbr.evaluation.mrr_score(model, test_mat)
+    print(
+        "test MRR gru_warp: "
+        + " ".join(f"s{s}={m:.4f}" for s, m in mrrs.items())
+    )
+    assert min(mrrs.values()) > 0.078
+    assert mrrs[42] > 0.10
+
+
 def test_ml100k_attention_extension_bar(ml100k_split):
     """Quality bar for the attention EXTENSION family (no reference
     counterpart, so the thresholds are this repo's own, set from the
