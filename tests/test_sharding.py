@@ -7,7 +7,7 @@ import jax
 
 from sbr_rs_tpu import data as D
 from sbr_rs_tpu import evaluation
-from sbr_rs_tpu.models import Loss, Optimizer, attention, ewma, lstm
+from sbr_rs_tpu.models import Loss, Optimizer, attention, ewma, gru, lstm
 from sbr_rs_tpu.parallel import make_mesh
 from sbr_rs_tpu.parallel.sharding import param_specs
 
@@ -62,7 +62,8 @@ def test_param_sharding_specs():
 
 @pytest.mark.parametrize(
     "cls",
-    [ewma.Hyperparameters, lstm.Hyperparameters, attention.Hyperparameters],
+    [ewma.Hyperparameters, lstm.Hyperparameters, attention.Hyperparameters,
+     gru.Hyperparameters],
 )
 def test_sharded_fit_matches_single_device(cls):
     """Sharded training is the same math — loss must match the single-device
