@@ -209,6 +209,23 @@ def hit_rate_score(model, test: CompressedInteractions, k: int = 10) -> float:
     return float(np.mean(ranks <= k))
 
 
+def ndcg_score(model, test: CompressedInteractions, k: int = 10) -> float:
+    """NDCG @ ``k`` for the single held-out next item.
+
+    Same protocol as :func:`mrr_score` (full-catalog scoring, seen-item
+    masking, ties count against — no reference counterpart): with one
+    relevant item the ideal DCG is 1, so the score is the mean of
+    ``1 / log2(1 + rank)`` for ranks within ``k`` and 0 otherwise. Shares
+    the streamed-rank pass with the other metrics (``_ranks``)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ranks = _ranks(model, test)
+    if ranks.size == 0:
+        return float("nan")
+    r = ranks.astype(np.float64)
+    return float(np.mean(np.where(r <= k, 1.0 / np.log2(1.0 + r), 0.0)))
+
+
 def _ranks(model, test: CompressedInteractions) -> np.ndarray:
     """Rank of each qualifying test user's held-out item (1 = top)."""
     if isinstance(model, ImplicitSequenceModel):

@@ -223,3 +223,43 @@ def test_hit_rate_k_validation():
 
     with pytest.raises(ValueError):
         evaluation.hit_rate_score(_StubModel(), _toy().to_compressed(), k=0)
+
+
+def test_ndcg_semantics():
+    """Same fixture as test_generic_mrr_semantics: ranks are [1, 2], so
+    ndcg@1 = (1 + 0)/2 and ndcg@2 = (1 + 1/log2(3))/2."""
+    inter = D.Interactions.from_arrays(
+        np.array([0, 0, 1, 1]),
+        np.array([1, 0, 0, 2]),
+        np.array([0, 1, 0, 1]),
+        num_users=2,
+        num_items=5,
+    )
+    comp = inter.to_compressed()
+    assert abs(evaluation.ndcg_score(_StubModel(), comp, k=1) - 0.5) < 1e-9
+    want = (1.0 + 1.0 / np.log2(3.0)) / 2.0
+    assert abs(evaluation.ndcg_score(_StubModel(), comp, k=2) - want) < 1e-9
+    import pytest
+
+    with pytest.raises(ValueError):
+        evaluation.ndcg_score(_StubModel(), comp, k=0)
+
+
+def test_ndcg_batched_matches_generic():
+    inter = _toy().to_compressed()
+    model = (
+        ewma.Hyperparameters(inter.num_items, 8)
+        .num_epochs(1)
+        .from_seed(0)
+        .build()
+    )
+    model.fit(inter)
+    for k in (1, 5, inter.num_items):
+        fast = evaluation.ndcg_score(model, inter, k=k)
+
+        class _Wrap:
+            user_representation = model.user_representation
+            predict = model.predict
+
+        slow = evaluation.ndcg_score(_Wrap(), inter, k=k)
+        assert abs(fast - slow) < 1e-9, k
