@@ -37,6 +37,8 @@ in ``tests/test_models.py``.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -138,8 +140,6 @@ def score_groupmax(
     g_blk = _R_BLK // group
     grid = (c // _R_BLK, u_pad // ut)
     lo_arr = jnp.reshape(jnp.asarray(lo, jnp.int32), (1,))
-
-    import functools
 
     out = pl.pallas_call(
         functools.partial(_groupmax_kernel, group=group, n=n, r_blk=_R_BLK),
@@ -265,8 +265,6 @@ def score_count_ge(
     grid = (c // _R_BLK, u_pad // ut)
     lo_arr = jnp.reshape(jnp.asarray(lo, jnp.int32), (1,))
     col_lo_arr = jnp.reshape(jnp.asarray(col_lo, jnp.int32), (1,))
-
-    import functools
 
     counts, probe_scores = pl.pallas_call(
         functools.partial(_count_kernel, n=n, r_blk=_R_BLK, c_total=c),
