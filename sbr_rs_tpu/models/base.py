@@ -730,6 +730,16 @@ class ImplicitSequenceModel:
     # blow-up stops paying; fall back to per-chunk scatter masking.
     _SERVE_MAX_POSTFILTER_SEEN = 128
 
+    # Streamed-exact phase-1 merge: when 2x the all-groups maxima buffer
+    # (total_groups * U * 8 bytes) fits this budget, stack per-chunk maxima
+    # and take ONE wide top-k (measured ~2x cheaper than 77 running merges
+    # at 10M/U=4096); otherwise use the running per-chunk merge.
+    _MERGE_BUFFER_BYTES = 3 << 30
+    # Streamed-exact phase-2: candidate rows are re-scored in slot batches
+    # sized so the gathered f32 block stays under this budget (the flat
+    # block OOMed a 20M bf16 catalog; single-slot steps were map-bound).
+    _PHASE2_BUFFER_BYTES = 1_200_000_000
+
     def _pallas_topk_enabled(self) -> bool:
         """Fused score+group-max kernel on the streamed EXACT path
         (:mod:`sbr_rs_tpu.ops.pallas_topk`): env override > auto (TPU
@@ -844,9 +854,10 @@ class ImplicitSequenceModel:
                 use_pallas = pallas_topk and _ptk.groupmax_supported(
                     serve_chunk, table.shape[1], u, group
                 )
+                total_groups = num_chunks * groups_per_chunk
 
-                def body(carry, c):
-                    vals, gids = carry
+                def chunk_gmax(c):
+                    """This chunk's group maxima, [G, U]."""
                     lo = c * serve_chunk
                     ids = lo + jnp.arange(serve_chunk)
                     if use_pallas:
@@ -855,63 +866,106 @@ class ImplicitSequenceModel:
                         # per chunk at U=4096 removed), and bf16 rows upcast
                         # in VMEM instead of through an HBM convert copy.
                         tc = jnp.take(table, ids, axis=0, mode="clip")
-                        gmax = _ptk.score_groupmax(
-                            tc, reps_aug, lo, n, group
-                        ).T  # [U, G]
-                    else:
-                        tc = jax.lax.optimization_barrier(
-                            jnp.take(table, ids, axis=0, mode="clip")
-                        ).astype(jnp.float32)
-                        # [C, U] transposed scores: group reduce over
-                        # sublanes.
-                        st = tc @ reps_aug.T
-                        st = jnp.where((ids < n)[:, None], st, -jnp.inf)
-                        gmax = jnp.max(
-                            st.reshape(groups_per_chunk, group, u), axis=1
-                        ).T  # [U, G]
-                    cv, cp = jax.lax.top_k(gmax, min(kk, groups_per_chunk))
-                    cg = c * groups_per_chunk + cp
-                    mv = jnp.concatenate([vals, cv], axis=1)
-                    mg = jnp.concatenate([gids, cg], axis=1)
-                    v, p = jax.lax.top_k(mv, kk)
-                    return (v, jnp.take_along_axis(mg, p, axis=1)), None
+                        return _ptk.score_groupmax(tc, reps_aug, lo, n, group)
+                    tc = jax.lax.optimization_barrier(
+                        jnp.take(table, ids, axis=0, mode="clip")
+                    ).astype(jnp.float32)
+                    # [C, U] transposed scores: group reduce over sublanes.
+                    st = tc @ reps_aug.T
+                    st = jnp.where((ids < n)[:, None], st, -jnp.inf)
+                    return jnp.max(st.reshape(groups_per_chunk, group, u), axis=1)
 
-                # Init group ids are DISTINCT and past the catalog: a slot
-                # the merge never displaces must produce out-of-range
-                # candidates (masked -inf below), never a duplicate of a
-                # real group.
-                total_groups = num_chunks * groups_per_chunk
-                init = (
-                    jnp.full((u, kk), -jnp.inf, jnp.float32),
-                    jnp.broadcast_to(
-                        total_groups + jnp.arange(kk, dtype=jnp.int32), (u, kk)
-                    ),
-                )
-                (_, gids), _ = jax.lax.scan(
-                    body, init, jnp.arange(num_chunks, dtype=jnp.int32)
-                )
+                # Phase-1 merge strategy. The 77 per-chunk top-k merge
+                # sorts measured 0.23 s of a 0.79 s batch at 10M/U=4096 —
+                # more than the fused score kernel itself; stacking every
+                # chunk's maxima and taking ONE wide top-k is ~2x cheaper
+                # (0.11 s, scripts/serving_phase_probe.py; merge-every-M
+                # hybrids measured no better than per-chunk). The single
+                # pass needs ~2x total_groups*U*4 bytes of HBM transients,
+                # so it is gated by _MERGE_BUFFER_BYTES (2.58 GB at
+                # 10M/4096 — on by default; a 20M catalog or a lowered
+                # budget falls back to the running merge).
+                if total_groups * u * 8 <= self._MERGE_BUFFER_BYTES:
+                    def body(carry, c):
+                        return carry, chunk_gmax(c)
+
+                    _, stacked = jax.lax.scan(
+                        body, 0, jnp.arange(num_chunks, dtype=jnp.int32)
+                    )  # [chunks, G, U]
+                    allg = stacked.reshape(total_groups, u).T  # [U, G_all]
+                    _, gids = jax.lax.top_k(allg, min(kk, total_groups))
+                else:
+                    def body(carry, c):
+                        vals, gids = carry
+                        gmax = chunk_gmax(c).T  # [U, G]
+                        cv, cp = jax.lax.top_k(gmax, min(kk, groups_per_chunk))
+                        cg = c * groups_per_chunk + cp
+                        mv = jnp.concatenate([vals, cv], axis=1)
+                        mg = jnp.concatenate([gids, cg], axis=1)
+                        v, p = jax.lax.top_k(mv, kk)
+                        return (v, jnp.take_along_axis(mg, p, axis=1)), None
+
+                    # Init group ids are DISTINCT and past the catalog: a
+                    # slot the merge never displaces must produce
+                    # out-of-range candidates (masked -inf below), never a
+                    # duplicate of a real group.
+                    init = (
+                        jnp.full((u, kk), -jnp.inf, jnp.float32),
+                        jnp.broadcast_to(
+                            total_groups + jnp.arange(kk, dtype=jnp.int32),
+                            (u, kk),
+                        ),
+                    )
+                    (_, gids), _ = jax.lax.scan(
+                        body, init, jnp.arange(num_chunks, dtype=jnp.int32)
+                    )
 
                 # Phase 2: re-score the winning groups' candidates exactly,
-                # one group SLOT at a time (a lax.map over the kk slots) —
-                # the flat [U, kk*group, D+1] candidate block is ~10 GB at
-                # U=4096, kk=41 and OOMed a 20M-item bf16 catalog. The
+                # a few group SLOTS at a time (a lax.map over slot batches;
+                # 41 single-slot steps measured ~0.38 s of the batch) — the
+                # flat [U, kk*group, D+1] candidate block is ~10 GB at
+                # U=4096, kk=41 and OOMed a 20M-item bf16 catalog, so the
+                # slot-batch size is set by _PHASE2_BUFFER_BYTES. The
                 # optimization_barrier pins the convert to the GATHERED
                 # rows: without it XLA hoists the f32 convert onto the
                 # whole table (a catalog-sized copy). Augmented reps dot
                 # whole fused rows — slicing into emb/bias would force a
                 # relayout copy of every candidate row.
-                def score_slot(gid_col):
-                    ids = gid_col[:, None] * group + jnp.arange(group)  # [U, g]
+                w = gids.shape[1]
+                c_param = table.shape[1]
+                slot_bs = max(
+                    1,
+                    min(w, self._PHASE2_BUFFER_BYTES // (u * group * c_param * 4)),
+                )
+                w_pad = -(-w // slot_bs) * slot_bs
+                if w_pad != w:
+                    # Padding slots use group id total_groups: its item ids
+                    # are >= n (groups tile the catalog), so the id mask
+                    # below drops them.
+                    gids = jnp.pad(
+                        gids, ((0, 0), (0, w_pad - w)),
+                        constant_values=total_groups,
+                    )
+                gsteps = gids.reshape(u, w_pad // slot_bs, slot_bs)
+                gsteps = jnp.moveaxis(gsteps, 1, 0)  # [steps, U, sb]
+
+                def score_slots(gcols):
+                    ids = gcols[:, :, None] * group + jnp.arange(group)
                     rows_g = jnp.take(
                         table, ids.reshape(-1), axis=0, mode="clip"
                     )
                     rows_g = jax.lax.optimization_barrier(rows_g)
-                    rows_g = rows_g.astype(jnp.float32).reshape(u, group, -1)
-                    return jnp.einsum("ue,uge->ug", reps_aug, rows_g), ids
+                    rows_g = rows_g.astype(jnp.float32).reshape(
+                        u, slot_bs * group, -1
+                    )
+                    return (
+                        jnp.einsum("ue,uce->uc", reps_aug, rows_g),
+                        ids.reshape(u, slot_bs * group),
+                    )
 
-                slot_scores, slot_ids = jax.lax.map(score_slot, gids.T)
-                cand = jnp.moveaxis(slot_ids, 0, 1).reshape(u, kk * group)
-                cscores = jnp.moveaxis(slot_scores, 0, 1).reshape(u, kk * group)
+                slot_scores, slot_ids = jax.lax.map(score_slots, gsteps)
+                cand = jnp.moveaxis(slot_ids, 0, 1).reshape(u, w_pad * group)
+                cscores = jnp.moveaxis(slot_scores, 0, 1).reshape(u, w_pad * group)
                 cscores = jnp.where(cand < n, cscores, -jnp.inf)
 
             # Drop seen candidates BY ID (broadcast compare against the sorted

@@ -488,6 +488,35 @@ def test_streamed_topk_exact_under_adversarial_ties(monkeypatch):
         ImplicitSequenceModel._TOPK_FN_CACHE.clear()
 
 
+def test_recommend_batch_running_merge_branch(monkeypatch):
+    """The running per-chunk merge (taken when the all-groups maxima buffer
+    exceeds _MERGE_BUFFER_BYTES) must equal the dense argsort too."""
+    from sbr_rs_tpu.models.base import ImplicitSequenceModel
+
+    num_items = 37
+    inter = _toy_interactions(num_users=20, num_items=num_items).to_compressed()
+    model = (
+        lstm.Hyperparameters(num_items, 8).embedding_dim(16).num_epochs(2)
+        .batch_size(16).from_seed(5).build()
+    )
+    model.fit(inter)
+    monkeypatch.setattr(ImplicitSequenceModel, "_SERVE_ITEM_CHUNK", 8)
+    monkeypatch.setattr(ImplicitSequenceModel, "_MERGE_BUFFER_BYTES", 0)
+    ImplicitSequenceModel._TOPK_FN_CACHE.clear()
+    try:
+        histories = [[1, 2, 3], [30, 35, 36], [], list(range(0, 37, 3))]
+        got = model.recommend_batch(histories, k=6)
+        for h, g in zip(histories, got):
+            rep = model.user_representation(h)
+            scores = np.array(model.predict(rep))
+            if h:
+                scores[np.asarray(h)] = -np.inf
+            want = list(np.argsort(-scores, kind="stable")[:6])
+            assert g == want, (h, g, want)
+    finally:
+        ImplicitSequenceModel._TOPK_FN_CACHE.clear()
+
+
 def test_recommend_batch_bigseen_and_approx_paths(monkeypatch):
     """The wide-seen fallback (S > _SERVE_MAX_POSTFILTER_SEEN: per-chunk
     scatter masking + full merge) must equal the dense reference; the
