@@ -739,6 +739,22 @@ class ImplicitSequenceModel:
     # sized so the gathered f32 block stays under this budget (the flat
     # block OOMed a 20M bf16 catalog; single-slot steps were map-bound).
     _PHASE2_BUFFER_BYTES = 1_200_000_000
+    # Subgroup refinement on the single-pass merge path: phase 1 still
+    # merges GROUP maxima (width _GROUP_TARGET), but the final kk candidate
+    # units are picked at SUBGROUP width — phase 2 then gathers kk*sub rows
+    # per user instead of kk*group. Phase 2 is random-row gather-latency
+    # bound (~8 ns/row at 10M items, ARCHITECTURE.md), so halving/quartering
+    # its row count is the lever; the extra cost is an r-times-larger f32
+    # maxima stack (gated by _SUBMAX_BUFFER_BYTES, falls back up toward
+    # `group`) plus a tiny [U, kk*r] gather + top-k. Env overrides
+    # SBR_SERVE_GROUP / SBR_SERVE_SUBGROUP for A/B. Measured on chip at
+    # 10M f32 / U=4096 (scripts/subgroup_ab.py): sub 128/64/32/16 ->
+    # 5.7k/6.5k/7.2k/7.1k users/s, id-lists bit-identical — knee at 32.
+    _GROUP_TARGET = 128
+    _SUBGROUP_TARGET = 32
+    # 6 GB admits sub=32 at 10M/U=4096 (5.2 GB stack; measured fitting
+    # alongside the 5.1 GB f32 table on a 16 GB v5e).
+    _SUBMAX_BUFFER_BYTES = 6 << 30
 
     def _pallas_topk_enabled(self) -> bool:
         """Fused score+group-max kernel on the streamed EXACT path
@@ -757,8 +773,19 @@ class ImplicitSequenceModel:
         )
 
     def _build_topk_fn(self, k: int, approximate: bool, recall_target: float):
+        import os
+
         pallas_topk = self._pallas_topk_enabled()
-        key = (self._rep_fn_cache_key(), k, approximate, recall_target, pallas_topk)
+        group_target = int(
+            os.environ.get("SBR_SERVE_GROUP", self._GROUP_TARGET)
+        )
+        sub_target = int(
+            os.environ.get("SBR_SERVE_SUBGROUP", self._SUBGROUP_TARGET)
+        )
+        key = (
+            self._rep_fn_cache_key(), k, approximate, recall_target,
+            pallas_topk, group_target, sub_target,
+        )
         cached = self._TOPK_FN_CACHE.get(key)
         if cached is not None:
             return cached
@@ -795,8 +822,14 @@ class ImplicitSequenceModel:
             #   [C, U] score layout: contiguous 128-row groups reduce over
             #   sublanes, a free reshape — the [U, C] layout forces a
             #   lane-splitting relayout copy (measured 2x whole-program).
+            # * On the single-pass merge path the winning groups are
+            #   refined one level down: the kernel emits SUBGROUP maxima
+            #   (width `sub` <= group), the merge runs on derived group
+            #   maxima, and a tiny [U, kk*r] top-k picks the final kk
+            #   subgroups — the refinement guarantee is the group argument
+            #   one level down.
             # * Seen items are NOT masked during the stream; phase 2
-            #   gathers the winning groups' (k+S)*128 candidate rows,
+            #   gathers the winning subgroups' (k+S)*sub candidate rows,
             #   re-scores them, drops seen candidates BY ID, and takes the
             #   exact top-k. With at most S seen items, at most S of the
             #   true top-(k+S) can be dropped, so k survivors remain —
@@ -814,7 +847,9 @@ class ImplicitSequenceModel:
             n = table.shape[0]
             s_width = seen.shape[1]
             num_chunks = -(-n // serve_chunk)
-            group = min(128, serve_chunk)  # 128 = one lane row; tests shrink it
+            group = min(group_target, serve_chunk)  # 128 = one lane row
+            while serve_chunk % group:
+                group -= 1  # largest width <= target dividing the chunk
             groups_per_chunk = serve_chunk // group
             u = reps.shape[0]
             kk = min(k + s_width, n)  # selection width before the seen filter
@@ -851,13 +886,48 @@ class ImplicitSequenceModel:
             else:
                 from ..ops import pallas_topk as _ptk
 
-                use_pallas = pallas_topk and _ptk.groupmax_supported(
-                    serve_chunk, table.shape[1], u, group
-                )
+                c_param = table.shape[1]
                 total_groups = num_chunks * groups_per_chunk
+                single_pass = (
+                    total_groups * u * 8 <= self._MERGE_BUFFER_BYTES
+                )
 
-                def chunk_gmax(c):
-                    """This chunk's group maxima, [G, U]."""
+                # Subgroup width for the final selection (see the class
+                # constants): the phase-1 merge stays at `group`, but when
+                # the single-pass merge is active phase 2 gathers kk*sub
+                # rows instead of kk*group — phase 2 is random-row
+                # gather-latency bound, so this is the dominant lever. The
+                # f32 submax stack costs r times the group stack, so the
+                # width falls back up toward `group` when the stack would
+                # exceed _SUBMAX_BUFFER_BYTES; when the fused kernel is in
+                # play, only widths it supports are eligible (losing the
+                # kernel to buy a narrower subgroup is a net loss).
+                kernel_ok = pallas_topk and _ptk.groupmax_supported(
+                    serve_chunk, c_param, u, group
+                )
+                sub = group
+                if single_pass:
+                    for d in range(max(1, sub_target), group + 1):
+                        if group % d:
+                            continue
+                        stack_bytes = num_chunks * (serve_chunk // d) * u * 4
+                        if stack_bytes > self._SUBMAX_BUFFER_BYTES:
+                            continue
+                        if kernel_ok and not _ptk.groupmax_supported(
+                            serve_chunk, c_param, u, d
+                        ):
+                            continue
+                        sub = d
+                        break
+                r = group // sub
+                subs_per_chunk = serve_chunk // sub
+                total_subs = num_chunks * subs_per_chunk
+                use_pallas = pallas_topk and _ptk.groupmax_supported(
+                    serve_chunk, c_param, u, sub
+                )
+
+                def chunk_submax(c):
+                    """This chunk's subgroup maxima, [C/sub, U]."""
                     lo = c * serve_chunk
                     ids = lo + jnp.arange(serve_chunk)
                     if use_pallas:
@@ -866,14 +936,22 @@ class ImplicitSequenceModel:
                         # per chunk at U=4096 removed), and bf16 rows upcast
                         # in VMEM instead of through an HBM convert copy.
                         tc = jnp.take(table, ids, axis=0, mode="clip")
-                        return _ptk.score_groupmax(tc, reps_aug, lo, n, group)
+                        return _ptk.score_groupmax(tc, reps_aug, lo, n, sub)
                     tc = jax.lax.optimization_barrier(
                         jnp.take(table, ids, axis=0, mode="clip")
                     ).astype(jnp.float32)
                     # [C, U] transposed scores: group reduce over sublanes.
                     st = tc @ reps_aug.T
                     st = jnp.where((ids < n)[:, None], st, -jnp.inf)
-                    return jnp.max(st.reshape(groups_per_chunk, group, u), axis=1)
+                    return jnp.max(st.reshape(subs_per_chunk, sub, u), axis=1)
+
+                def to_gmax(smax):
+                    """Group maxima [G, U] from subgroup maxima [C/sub, U]."""
+                    if r == 1:
+                        return smax
+                    return jnp.max(
+                        smax.reshape(groups_per_chunk, r, u), axis=1
+                    )
 
                 # Phase-1 merge strategy. The 77 per-chunk top-k merge
                 # sorts measured 0.23 s of a 0.79 s batch at 10M/U=4096 —
@@ -884,20 +962,40 @@ class ImplicitSequenceModel:
                 # pass needs ~2x total_groups*U*4 bytes of HBM transients,
                 # so it is gated by _MERGE_BUFFER_BYTES (2.58 GB at
                 # 10M/4096 — on by default; a 20M catalog or a lowered
-                # budget falls back to the running merge).
-                if total_groups * u * 8 <= self._MERGE_BUFFER_BYTES:
+                # budget falls back to the running merge, which keeps
+                # single-level selection: sub == group there).
+                if single_pass:
                     def body(carry, c):
-                        return carry, chunk_gmax(c)
+                        smax = chunk_submax(c)
+                        return carry, (smax, to_gmax(smax))
 
-                    _, stacked = jax.lax.scan(
+                    _, (stacked_sub, stacked_g) = jax.lax.scan(
                         body, 0, jnp.arange(num_chunks, dtype=jnp.int32)
-                    )  # [chunks, G, U]
-                    allg = stacked.reshape(total_groups, u).T  # [U, G_all]
-                    _, gids = jax.lax.top_k(allg, min(kk, total_groups))
+                    )  # [chunks, C/sub, U], [chunks, G, U]
+                    allg = stacked_g.reshape(total_groups, u).T  # [U, G_all]
+                    w1 = min(kk, total_groups)
+                    _, gids = jax.lax.top_k(allg, w1)
+                    if r > 1:
+                        # Level-2 refinement: among the winning groups'
+                        # w1*r subgroups, keep the top kk by subgroup max.
+                        # Exactness is the same argument one level down:
+                        # any discarded element is bounded by every one of
+                        # the kk selected subgroup maxima, each of which is
+                        # itself in the candidate pool.
+                        allsub = stacked_sub.reshape(total_subs, u)
+                        sids = (
+                            gids[:, :, None] * r
+                            + jnp.arange(r, dtype=gids.dtype)
+                        ).reshape(u, w1 * r)
+                        svals = jnp.take_along_axis(
+                            allsub, sids.T, axis=0
+                        ).T  # [U, w1*r]
+                        _, sp = jax.lax.top_k(svals, min(kk, w1 * r))
+                        gids = jnp.take_along_axis(sids, sp, axis=1)
                 else:
                     def body(carry, c):
                         vals, gids = carry
-                        gmax = chunk_gmax(c).T  # [U, G]
+                        gmax = to_gmax(chunk_submax(c)).T  # [U, G]
                         cv, cp = jax.lax.top_k(gmax, min(kk, groups_per_chunk))
                         cg = c * groups_per_chunk + cp
                         mv = jnp.concatenate([vals, cv], axis=1)
@@ -920,52 +1018,51 @@ class ImplicitSequenceModel:
                         body, init, jnp.arange(num_chunks, dtype=jnp.int32)
                     )
 
-                # Phase 2: re-score the winning groups' candidates exactly,
-                # a few group SLOTS at a time (a lax.map over slot batches;
-                # 41 single-slot steps measured ~0.38 s of the batch) — the
-                # flat [U, kk*group, D+1] candidate block is ~10 GB at
-                # U=4096, kk=41 and OOMed a 20M-item bf16 catalog, so the
-                # slot-batch size is set by _PHASE2_BUFFER_BYTES. The
-                # optimization_barrier pins the convert to the GATHERED
-                # rows: without it XLA hoists the f32 convert onto the
-                # whole table (a catalog-sized copy). Augmented reps dot
-                # whole fused rows — slicing into emb/bias would force a
-                # relayout copy of every candidate row.
+                # Phase 2: re-score the winning subgroups' candidates
+                # exactly, a few SLOTS at a time (a lax.map over slot
+                # batches; 41 single-slot steps measured ~0.38 s of the
+                # batch) — the flat [U, kk*sub, D+1] candidate block is
+                # ~10 GB at U=4096, kk=41, sub=128 and OOMed a 20M-item
+                # bf16 catalog, so the slot-batch size is set by
+                # _PHASE2_BUFFER_BYTES. The optimization_barrier pins the
+                # convert to the GATHERED rows: without it XLA hoists the
+                # f32 convert onto the whole table (a catalog-sized copy).
+                # Augmented reps dot whole fused rows — slicing into
+                # emb/bias would force a relayout copy of every row.
                 w = gids.shape[1]
-                c_param = table.shape[1]
                 slot_bs = max(
                     1,
-                    min(w, self._PHASE2_BUFFER_BYTES // (u * group * c_param * 4)),
+                    min(w, self._PHASE2_BUFFER_BYTES // (u * sub * c_param * 4)),
                 )
                 w_pad = -(-w // slot_bs) * slot_bs
                 if w_pad != w:
-                    # Padding slots use group id total_groups: its item ids
-                    # are >= n (groups tile the catalog), so the id mask
-                    # below drops them.
+                    # Padding slots use subgroup id total_subs: its item
+                    # ids are >= n (subgroups tile the catalog), so the id
+                    # mask below drops them.
                     gids = jnp.pad(
                         gids, ((0, 0), (0, w_pad - w)),
-                        constant_values=total_groups,
+                        constant_values=total_subs,
                     )
                 gsteps = gids.reshape(u, w_pad // slot_bs, slot_bs)
                 gsteps = jnp.moveaxis(gsteps, 1, 0)  # [steps, U, sb]
 
                 def score_slots(gcols):
-                    ids = gcols[:, :, None] * group + jnp.arange(group)
+                    ids = gcols[:, :, None] * sub + jnp.arange(sub)
                     rows_g = jnp.take(
                         table, ids.reshape(-1), axis=0, mode="clip"
                     )
                     rows_g = jax.lax.optimization_barrier(rows_g)
                     rows_g = rows_g.astype(jnp.float32).reshape(
-                        u, slot_bs * group, -1
+                        u, slot_bs * sub, -1
                     )
                     return (
                         jnp.einsum("ue,uce->uc", reps_aug, rows_g),
-                        ids.reshape(u, slot_bs * group),
+                        ids.reshape(u, slot_bs * sub),
                     )
 
                 slot_scores, slot_ids = jax.lax.map(score_slots, gsteps)
-                cand = jnp.moveaxis(slot_ids, 0, 1).reshape(u, w_pad * group)
-                cscores = jnp.moveaxis(slot_scores, 0, 1).reshape(u, w_pad * group)
+                cand = jnp.moveaxis(slot_ids, 0, 1).reshape(u, w_pad * sub)
+                cscores = jnp.moveaxis(slot_scores, 0, 1).reshape(u, w_pad * sub)
                 cscores = jnp.where(cand < n, cscores, -jnp.inf)
 
             # Drop seen candidates BY ID (broadcast compare against the sorted

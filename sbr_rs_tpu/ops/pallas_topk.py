@@ -100,9 +100,12 @@ _U_TILE = 512
 
 
 def groupmax_supported(c: int, cc: int, u: int, group: int) -> bool:
-    """Static shape gate for the Pallas path."""
+    """Static shape gate for the Pallas path. Group widths below 128 feed
+    the serving path's subgroup refinement (``models/base.py``): the tile
+    reshape-reduce runs over sublanes, so any multiple of the 8-row
+    sublane that divides the row block lowers."""
     return (
-        group == 128
+        group in (8, 16, 32, 64, 128)
         and c % _R_BLK == 0
         and cc <= 512
         and u >= 1

@@ -488,6 +488,50 @@ def test_streamed_topk_exact_under_adversarial_ties(monkeypatch):
         ImplicitSequenceModel._TOPK_FN_CACHE.clear()
 
 
+def test_streamed_topk_subgroup_refinement(monkeypatch):
+    """The two-level selection (group maxima for the phase-1 merge, final
+    units picked at SUBGROUP width so phase 2 gathers kk*sub rows) must
+    stay value-exact against the dense argsort — including with massive
+    duplicate-score ties spanning group/subgroup boundaries, and with
+    seen-item exclusion."""
+    from sbr_rs_tpu.models.base import ImplicitSequenceModel
+
+    num_items = 40
+    inter = _toy_interactions(num_users=10, num_items=num_items).to_compressed()
+    model = (
+        lstm.Hyperparameters(num_items, 8).embedding_dim(16).num_epochs(1)
+        .batch_size(16).from_seed(3).build()
+    )
+    model.fit(inter)
+    tbl = np.array(model._params["item_table"])
+    tbl[10:20] = tbl[0:10]  # exact duplicate scores across boundaries
+    import jax.numpy as _jnp
+
+    model._params["item_table"] = _jnp.asarray(tbl)
+    monkeypatch.setattr(ImplicitSequenceModel, "_SERVE_ITEM_CHUNK", 8)
+    for sub_target in (2, 4):
+        monkeypatch.setattr(
+            ImplicitSequenceModel, "_SUBGROUP_TARGET", sub_target
+        )
+        ImplicitSequenceModel._TOPK_FN_CACHE.clear()
+        try:
+            histories = [[0], [5, 6], [39], []]
+            ids, scores = model.recommend_batch(
+                histories, k=6, return_scores=True
+            )
+            for h, row_ids, row_scores in zip(histories, ids, scores):
+                rep = model.user_representation(h)
+                dense = np.array(model.predict(rep))  # writable copy
+                if h:
+                    dense[np.asarray(h)] = -np.inf
+                want = np.sort(dense)[::-1][:6]
+                np.testing.assert_allclose(row_scores, want, rtol=1e-5)
+                assert len(set(row_ids)) == 6
+                assert not set(row_ids) & set(h)
+        finally:
+            ImplicitSequenceModel._TOPK_FN_CACHE.clear()
+
+
 def test_recommend_batch_running_merge_branch(monkeypatch):
     """The running per-chunk merge (taken when the all-groups maxima buffer
     exceeds _MERGE_BUFFER_BYTES) must equal the dense argsort too."""

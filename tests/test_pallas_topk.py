@@ -24,30 +24,34 @@ def _mk(c, cc, u, n, dtype="float32", seed=0):
 
 @pytest.mark.parametrize("u", [1, 7, 512, 520])
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
-def test_groupmax_matches_xla(u, dtype):
+@pytest.mark.parametrize("group", [32, 128])
+def test_groupmax_matches_xla(u, dtype, group):
     c, cc, n = 2048, 33, 3000  # one row block; n < lo + c exercises masking
     lo = 1024
     chunk, reps = _mk(c, cc, u, n, dtype=dtype)
-    assert ptk.groupmax_supported(c, cc, u, 128)
-    want = ptk.score_groupmax_xla(chunk, reps, lo, n, 128)
-    got = ptk.score_groupmax(chunk, reps, lo, n, 128, interpret=True)
-    assert got.shape == want.shape == (c // 128, u)
+    assert ptk.groupmax_supported(c, cc, u, group)
+    want = ptk.score_groupmax_xla(chunk, reps, lo, n, group)
+    got = ptk.score_groupmax(chunk, reps, lo, n, group, interpret=True)
+    assert got.shape == want.shape == (c // group, u)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
-def test_groupmax_multiblock():
-    # Multiple row blocks AND multiple user tiles in one call.
+@pytest.mark.parametrize("group", [8, 16, 64, 128])
+def test_groupmax_multiblock(group):
+    # Multiple row blocks AND multiple user tiles in one call; the
+    # sub-128 widths feed the serving path's subgroup refinement.
     c, cc, u, n = 4096, 128, 1024, 100_000
     lo = 0
     chunk, reps = _mk(c, cc, u, n)
-    want = ptk.score_groupmax_xla(chunk, reps, lo, n, 128)
-    got = ptk.score_groupmax(chunk, reps, lo, n, 128, interpret=True)
+    want = ptk.score_groupmax_xla(chunk, reps, lo, n, group)
+    got = ptk.score_groupmax(chunk, reps, lo, n, group, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
 def test_groupmax_unsupported_shapes():
     assert not ptk.groupmax_supported(1024, 33, 8, 128)  # c % 2048 != 0
-    assert not ptk.groupmax_supported(2048, 33, 8, 64)  # group != 128
+    assert not ptk.groupmax_supported(2048, 33, 8, 48)  # not a sublane multiple
+    assert not ptk.groupmax_supported(2048, 33, 8, 256)  # wider than a lane row
     assert not ptk.groupmax_supported(2048, 1024, 8, 128)  # cc too wide
 
 
