@@ -733,8 +733,12 @@ class ImplicitSequenceModel:
     # Streamed-exact phase-1 merge: when 2x the all-groups maxima buffer
     # (total_groups * U * 8 bytes) fits this budget, stack per-chunk maxima
     # and take ONE wide top-k (measured ~2x cheaper than 77 running merges
-    # at 10M/U=4096); otherwise use the running per-chunk merge.
-    _MERGE_BUFFER_BYTES = 3 << 30
+    # at 10M/U=4096); otherwise use the running per-chunk merge. 6 GB
+    # admits the 20M/U=4096 shape (5.1 GB): measured on chip beside the
+    # 5.1 GB bf16 table, single-pass 4.6k vs running-merge 3.5k users/s
+    # (5.1k with sub=64 refinement), id-lists identical
+    # (scripts/subgroup_ab.py 20000000 bfloat16 6).
+    _MERGE_BUFFER_BYTES = 6 << 30
     # Streamed-exact phase-2: candidate rows are re-scored in slot batches
     # sized so the gathered f32 block stays under this budget (the flat
     # block OOMed a 20M bf16 catalog; single-slot steps were map-bound).
@@ -961,18 +965,25 @@ class ImplicitSequenceModel:
                 # hybrids measured no better than per-chunk). The single
                 # pass needs ~2x total_groups*U*4 bytes of HBM transients,
                 # so it is gated by _MERGE_BUFFER_BYTES (2.58 GB at
-                # 10M/4096 — on by default; a 20M catalog or a lowered
-                # budget falls back to the running merge, which keeps
-                # single-level selection: sub == group there).
+                # 10M/4096, 5.1 GB at 20M — both on by default; bigger
+                # catalogs or a lowered budget fall back to the running
+                # merge, which keeps single-level selection: sub == group
+                # there).
                 if single_pass:
                     def body(carry, c):
-                        smax = chunk_submax(c)
-                        return carry, (smax, to_gmax(smax))
+                        return carry, chunk_submax(c)
 
-                    _, (stacked_sub, stacked_g) = jax.lax.scan(
+                    _, stacked_sub = jax.lax.scan(
                         body, 0, jnp.arange(num_chunks, dtype=jnp.int32)
-                    )  # [chunks, C/sub, U], [chunks, G, U]
-                    allg = stacked_g.reshape(total_groups, u).T  # [U, G_all]
+                    )  # [chunks, C/sub, U]
+                    # Group maxima for the wide merge, derived from the
+                    # subgroup stack (one extra read of it; stacking them
+                    # separately in the scan held an extra
+                    # total_groups*U*4 bytes — 2.56 GB at 20M/4096, the
+                    # difference between fitting and OOM beside the table).
+                    allg = jnp.max(
+                        stacked_sub.reshape(total_groups, r, u), axis=1
+                    ).T  # [U, G_all]
                     w1 = min(kk, total_groups)
                     _, gids = jax.lax.top_k(allg, w1)
                     if r > 1:

@@ -8,7 +8,11 @@ cutting phase-2 rows by group/sub. This script measures recommend_batch
 wall at the serving-bench shape for sub in {128 (single-level baseline),
 64, 32, 16} and verifies the returned id lists against the baseline.
 
-Usage: python scripts/subgroup_ab.py [num_items] [dtype]
+Usage: python scripts/subgroup_ab.py [num_items] [dtype] [merge_budget_gb]
+
+The optional third arg raises _MERGE_BUFFER_BYTES so bigger catalogs
+(20M: maxima stack 5.1 GB) take the single-pass merge + refinement path
+instead of the running merge — OOM here is a measurement, not a bug.
 """
 
 from __future__ import annotations
@@ -28,6 +32,10 @@ from sbr_rs_tpu.models.base import ImplicitSequenceModel
 def main() -> None:
     num_items = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
+    if len(sys.argv) > 3:
+        ImplicitSequenceModel._MERGE_BUFFER_BYTES = (
+            int(float(sys.argv[3])) << 30
+        )
 
     model = (
         lstm.Hyperparameters(num_items, 32)
