@@ -47,19 +47,23 @@ def _pallas_eval_enabled(model) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_catalog_counter_pallas(chunk: int, num_chunks: int, num_items: int):
+def _make_catalog_counter_pallas(num_items: int):
     """Fused-kernel variant of :func:`_make_catalog_counter`
-    (:mod:`sbr_rs_tpu.ops.pallas_topk`): per chunk the kernel reduces
-    scores to per-user ``>= target`` counts inside VMEM — the [U, C] score
-    matrix (~41 GB of HBM write+read per 512 users at 10M items) never
-    exists. Seen-item masking moves OUT of the stream: the kernel counts
-    UNMASKED scores and an O(U·P) correction subtracts each distinct seen
-    item whose score clears the target (callers pass DEDUPED prefix rows),
-    adding them back when the target is itself the mask value (a seen
-    held-out item), which reproduces the mask-then-count semantics
-    exactly. The correction and the kernel score rows identically (one
-    f32 contraction of bias-augmented reps against whole fused rows);
-    like the documented target-vs-chunk rounding hazard below, a last-ulp
+    (:mod:`sbr_rs_tpu.ops.pallas_topk`): ONE whole-catalog kernel call
+    reduces scores to per-user ``>= target`` counts inside VMEM — the
+    [U, C] score matrix (~41 GB of HBM write+read per 512 users at 10M
+    items) never exists, and neither do the per-chunk table-slab copies
+    the earlier chunked formulation made (one ``dynamic_slice`` per 64Ki
+    chunk = an extra full-catalog write+read per user batch); the kernel
+    pipeline streams the table from HBM exactly once. Seen-item masking
+    moves OUT of the stream: the kernel counts UNMASKED scores and an
+    O(U·P) correction subtracts each distinct seen item whose score
+    clears the target (callers pass DEDUPED prefix rows), adding them
+    back when the target is itself the mask value (a seen held-out
+    item), which reproduces the mask-then-count semantics exactly. The
+    correction and the kernel score rows identically (one f32
+    contraction of bias-augmented reps against whole fused rows); like
+    the documented target-vs-chunk rounding hazard below, a last-ulp
     disagreement between two MXU formulations of the same dot could in
     principle flip one ``>=`` at an exact tie — the reference protocol's
     already-accepted float hazard class (``src/evaluation.rs:37-41``)."""
@@ -73,23 +77,8 @@ def _make_catalog_counter_pallas(chunk: int, num_chunks: int, num_items: int):
         targets = jnp.where(test_in_prefix, _NEG_MIN, raw)
         reps_aug = jnp.concatenate([reps, jnp.ones((u, 1), reps.dtype)], axis=1)
 
-        def body(c, carry):
-            counts, probe_tot = carry
-            lo = jnp.minimum(c * chunk, num_items - chunk)
-            col_lo = c * chunk - lo
-            tc = jax.lax.dynamic_slice_in_dim(table, lo, chunk, axis=0)
-            probe_local = test_items - lo
-            cnt, probe_sc = ptk.score_count_ge(
-                tc, reps_aug, targets, probe_local, lo, col_lo, num_items
-            )
-            in_window = (probe_local >= col_lo) & (probe_local < chunk)
-            return counts + cnt, probe_tot + jnp.where(in_window, probe_sc, 0.0)
-
-        counts_all, probe_tot = jax.lax.fori_loop(
-            0,
-            num_chunks,
-            body,
-            (jnp.zeros((u,), jnp.int32), jnp.zeros((u,), jnp.float32)),
+        counts_all, probe_tot = ptk.score_count_ge(
+            table, reps_aug, targets, test_items, 0, 0, num_items
         )
 
         # Seen correction: distinct valid prefix rows, scored with the same
@@ -270,12 +259,10 @@ def _ranks_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -
     use_pallas = (
         num_chunks > 1
         and _pallas_eval_enabled(model)
-        and ptk.count_supported(item_chunk, table.shape[1], u_pad)
+        and ptk.count_supported(num_items, table.shape[1], u_pad)
     )
     if use_pallas:
-        count_catalog = _make_catalog_counter_pallas(
-            item_chunk, num_chunks, num_items
-        )
+        count_catalog = _make_catalog_counter_pallas(num_items)
     else:
         count_catalog = _make_catalog_counter(item_chunk, num_chunks, num_items)
 

@@ -970,21 +970,50 @@ class ImplicitSequenceModel:
                 # merge, which keeps single-level selection: sub == group
                 # there).
                 if single_pass:
-                    def body(carry, c):
-                        return carry, chunk_submax(c)
+                    if use_pallas:
+                        # WHOLE-CATALOG kernel: one pallas_call streams the
+                        # table from HBM exactly once and writes the
+                        # subgroup-max stack directly — the per-chunk
+                        # ``jnp.take`` slab copies of the chunked scan (an
+                        # extra full-catalog HBM write+read per batch) and
+                        # the scan re-stacking disappear. The ragged final
+                        # row block is masked to -inf inside the kernel
+                        # (ids >= n), so trailing pad subgroups can never
+                        # win a merge slot over a real one. With r > 1 the
+                        # kernel also emits the GROUP maxima from the same
+                        # in-register tile: deriving them outside re-reads
+                        # the stack and — depending on the layout XLA picks
+                        # for the reshape — materializes a stack-sized
+                        # relayout copy (measured OOM at 20M/U=4096).
+                        if r > 1:
+                            allsub, gmax = _ptk.score_submax_groupmax(
+                                table, reps_aug, 0, n, sub, group
+                            )  # [S_all, U], [G_all, U]
+                        else:
+                            allsub = _ptk.score_groupmax(
+                                table, reps_aug, 0, n, sub
+                            )  # [S_all, U]
+                            gmax = allsub
+                        allg = gmax.T  # [U, G_all]
+                    else:
+                        def body(carry, c):
+                            return carry, chunk_submax(c)
 
-                    _, stacked_sub = jax.lax.scan(
-                        body, 0, jnp.arange(num_chunks, dtype=jnp.int32)
-                    )  # [chunks, C/sub, U]
-                    # Group maxima for the wide merge, derived from the
-                    # subgroup stack (one extra read of it; stacking them
-                    # separately in the scan held an extra
-                    # total_groups*U*4 bytes — 2.56 GB at 20M/4096, the
-                    # difference between fitting and OOM beside the table).
-                    allg = jnp.max(
-                        stacked_sub.reshape(total_groups, r, u), axis=1
-                    ).T  # [U, G_all]
-                    w1 = min(kk, total_groups)
+                        _, stacked_sub = jax.lax.scan(
+                            body, 0, jnp.arange(num_chunks, dtype=jnp.int32)
+                        )  # [chunks, C/sub, U]
+                        allsub = stacked_sub.reshape(total_subs, u)
+                        # Group maxima for the wide merge, derived from the
+                        # subgroup stack (the scan output is contiguous, so
+                        # this reshape is free; stacking them separately
+                        # held an extra total_groups*U*4 bytes — 2.56 GB at
+                        # 20M/4096).
+                        allg = jnp.max(
+                            allsub.reshape(total_groups, r, u), axis=1
+                        ).T  # [U, G_all]
+                    n_subs = allsub.shape[0]
+                    n_groups = allg.shape[1]
+                    w1 = min(kk, n_groups)
                     _, gids = jax.lax.top_k(allg, w1)
                     if r > 1:
                         # Level-2 refinement: among the winning groups'
@@ -993,7 +1022,6 @@ class ImplicitSequenceModel:
                         # any discarded element is bounded by every one of
                         # the kk selected subgroup maxima, each of which is
                         # itself in the candidate pool.
-                        allsub = stacked_sub.reshape(total_subs, u)
                         sids = (
                             gids[:, :, None] * r
                             + jnp.arange(r, dtype=gids.dtype)
@@ -1003,6 +1031,7 @@ class ImplicitSequenceModel:
                         ).T  # [U, w1*r]
                         _, sp = jax.lax.top_k(svals, min(kk, w1 * r))
                         gids = jnp.take_along_axis(sids, sp, axis=1)
+                    sub_sentinel = n_subs
                 else:
                     def body(carry, c):
                         vals, gids = carry
@@ -1028,6 +1057,7 @@ class ImplicitSequenceModel:
                     (_, gids), _ = jax.lax.scan(
                         body, init, jnp.arange(num_chunks, dtype=jnp.int32)
                     )
+                    sub_sentinel = total_subs
 
                 # Phase 2: re-score the winning subgroups' candidates
                 # exactly, a few SLOTS at a time (a lax.map over slot
@@ -1047,12 +1077,12 @@ class ImplicitSequenceModel:
                 )
                 w_pad = -(-w // slot_bs) * slot_bs
                 if w_pad != w:
-                    # Padding slots use subgroup id total_subs: its item
-                    # ids are >= n (subgroups tile the catalog), so the id
-                    # mask below drops them.
+                    # Padding slots use the one-past-the-end subgroup id:
+                    # its item ids are >= n (subgroups tile the catalog),
+                    # so the id mask below drops them.
                     gids = jnp.pad(
                         gids, ((0, 0), (0, w_pad - w)),
-                        constant_values=total_subs,
+                        constant_values=sub_sentinel,
                     )
                 gsteps = gids.reshape(u, w_pad // slot_bs, slot_bs)
                 gsteps = jnp.moveaxis(gsteps, 1, 0)  # [steps, U, sb]

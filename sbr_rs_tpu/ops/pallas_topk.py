@@ -92,6 +92,34 @@ def _groupmax_kernel(lo_ref, rows_ref, reps_ref, out_ref, *, group, n, r_blk):
     out_ref[:] = jnp.max(scores.reshape(r_blk // group, group, -1), axis=1)
 
 
+def _submax_groupmax_kernel(
+    lo_ref, rows_ref, reps_ref, sub_ref, grp_ref, *, sub, group, n, r_blk
+):
+    # Two-level variant: emit SUBGROUP maxima (for the serving path's
+    # phase-2 refinement) AND GROUP maxima (for the wide phase-1 merge)
+    # from the same in-register score tile. Deriving group maxima from
+    # the stored submax stack outside the kernel costs a full re-read —
+    # and, depending on the layout XLA picks for the reshape, a
+    # stack-sized relayout copy that OOMed the 20M-item catalog.
+    i = pl.program_id(0)
+    rows = rows_ref[:].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        rows,
+        reps_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, UT]
+    gid = lo_ref[0] + i * r_blk + jax.lax.broadcasted_iota(
+        jnp.int32, (r_blk, 1), 0
+    )
+    scores = jnp.where(gid < n, scores, -jnp.inf)
+    smax = jnp.max(scores.reshape(r_blk // sub, sub, -1), axis=1)
+    sub_ref[:] = smax
+    grp_ref[:] = jnp.max(
+        smax.reshape(r_blk // group, group // sub, -1), axis=1
+    )
+
+
 # Row-block height: 16 groups of 128 rows = 2048. With UT=512 the VMEM
 # working set is rows 1 MB (f32 Cc=128) + reps 0.25 MB + scores 4 MB +
 # pipelining headroom — comfortably under the ~16 MB budget up to Cc=512.
@@ -103,13 +131,19 @@ def groupmax_supported(c: int, cc: int, u: int, group: int) -> bool:
     """Static shape gate for the Pallas path. Group widths below 128 feed
     the serving path's subgroup refinement (``models/base.py``): the tile
     reshape-reduce runs over sublanes, so any multiple of the 8-row
-    sublane that divides the row block lowers."""
-    return (
-        group in (8, 16, 32, 64, 128)
-        and c % _R_BLK == 0
-        and cc <= 512
-        and u >= 1
-    )
+    sublane that divides the row block lowers. ``c`` need not divide the
+    row block (whole-catalog mode): the grid rounds up and rows past the
+    ragged edge are masked to ``-inf`` by the ``gid < n`` test, but the
+    OUTPUT then carries ``ceil(c / _R_BLK) * _R_BLK // group`` rows — use
+    :func:`groupmax_rows` for the caller-side row count."""
+    return group in (8, 16, 32, 64, 128) and cc <= 512 and u >= 1
+
+
+def groupmax_rows(c: int, group: int) -> int:
+    """Number of group rows :func:`score_groupmax` emits for ``c`` input
+    rows (the ragged final row block pads up to ``_R_BLK``; trailing
+    all-past-``n`` groups come back as ``-inf``)."""
+    return _round_up(c, _R_BLK) // group
 
 
 def score_groupmax(
@@ -124,7 +158,10 @@ def score_groupmax(
     """Fused-kernel ``[G, U]`` group maxima (see module docstring).
 
     Call :func:`groupmax_supported` first; unsupported shapes must use
-    :func:`score_groupmax_xla`.
+    :func:`score_groupmax_xla`. ``chunk_rows`` may be the WHOLE catalog
+    (whole-catalog mode, ``lo=0``): a ragged final row block is padded by
+    the pipeline and masked to ``-inf`` by the ``gid < n`` test, and the
+    output carries :func:`groupmax_rows`\\ ``(c, group)`` rows.
     """
     c, cc = chunk_rows.shape
     u = reps_aug.shape[0]
@@ -141,7 +178,8 @@ def score_groupmax(
         reps_aug = jnp.pad(reps_aug, ((0, u_pad - u), (0, 0)))
 
     g_blk = _R_BLK // group
-    grid = (c // _R_BLK, u_pad // ut)
+    nb = _round_up(c, _R_BLK) // _R_BLK
+    grid = (nb, u_pad // ut)
     lo_arr = jnp.reshape(jnp.asarray(lo, jnp.int32), (1,))
 
     out = pl.pallas_call(
@@ -155,10 +193,83 @@ def score_groupmax(
         out_specs=pl.BlockSpec(
             (g_blk, ut), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((c // group, u_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb * g_blk, u_pad), jnp.float32),
         interpret=interpret,
     )(lo_arr, chunk_rows, reps_aug)
     return out[:, :u]
+
+
+def score_submax_groupmax_xla(
+    chunk_rows: jnp.ndarray,
+    reps_aug: jnp.ndarray,
+    lo,
+    n: int,
+    sub: int,
+    group: int,
+):
+    """Reference formulation of :func:`score_submax_groupmax`."""
+    smax = score_groupmax_xla(chunk_rows, reps_aug, lo, n, sub)
+    s, u = smax.shape
+    gmax = jnp.max(smax.reshape(s // (group // sub), group // sub, u), axis=1)
+    return smax, gmax
+
+
+def score_submax_groupmax(
+    chunk_rows: jnp.ndarray,
+    reps_aug: jnp.ndarray,
+    lo,
+    n: int,
+    sub: int,
+    group: int,
+    *,
+    interpret: bool = False,
+):
+    """Fused ``([S, U] subgroup maxima, [G, U] group maxima)`` in one pass
+    (see :func:`_submax_groupmax_kernel`). Requires ``sub`` dividing
+    ``group``, both supported widths (:func:`groupmax_supported`); ragged
+    ``c`` follows the whole-catalog rules of :func:`score_groupmax`.
+    """
+    c, cc = chunk_rows.shape
+    u = reps_aug.shape[0]
+    assert group % sub == 0 and sub < group
+    assert groupmax_supported(c, cc, u, sub)
+    assert groupmax_supported(c, cc, u, group)
+    if u >= _U_TILE:
+        ut = _U_TILE
+        u_pad = _round_up(u, ut)
+    else:
+        u_pad = _round_up(u, 8)
+        ut = u_pad
+    if u_pad != u:
+        reps_aug = jnp.pad(reps_aug, ((0, u_pad - u), (0, 0)))
+
+    s_blk = _R_BLK // sub
+    g_blk = _R_BLK // group
+    nb = _round_up(c, _R_BLK) // _R_BLK
+    grid = (nb, u_pad // ut)
+    lo_arr = jnp.reshape(jnp.asarray(lo, jnp.int32), (1,))
+
+    smax, gmax = pl.pallas_call(
+        functools.partial(
+            _submax_groupmax_kernel, sub=sub, group=group, n=n, r_blk=_R_BLK
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_R_BLK, cc), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ut, cc), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((s_blk, ut), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_blk, ut), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * s_blk, u_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nb * g_blk, u_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lo_arr, chunk_rows, reps_aug)
+    return smax[:, :u], gmax[:, :u]
 
 
 # --------------------------------------------------------------------------
@@ -235,7 +346,12 @@ def _count_kernel(
 
 
 def count_supported(c: int, cc: int, u: int) -> bool:
-    return c % _R_BLK == 0 and cc <= 512 and u >= 1
+    """``c`` need not divide the row block (whole-catalog mode): the grid
+    rounds up and ragged-edge rows are excluded by the ``gid < n``
+    validity test — which makes ragged ``c`` safe only when the rows past
+    the edge are also past the catalog end (``lo + c >= n``, i.e. the
+    whole-catalog call)."""
+    return cc <= 512 and u >= 1
 
 
 def score_count_ge(
@@ -249,7 +365,11 @@ def score_count_ge(
     *,
     interpret: bool = False,
 ):
-    """Fused-kernel streamed rank count (see :func:`score_count_ge_xla`)."""
+    """Fused-kernel streamed rank count (see :func:`score_count_ge_xla`).
+
+    ``chunk_rows`` may be the WHOLE catalog (whole-catalog mode, ``lo=0``,
+    ``col_lo=0``): the ragged final row block is masked by ``gid < n``.
+    """
     c, cc = chunk_rows.shape
     u = reps_aug.shape[0]
     assert count_supported(c, cc, u)
@@ -265,7 +385,7 @@ def score_count_ge(
         targets = jnp.pad(targets, (0, u_pad - u), constant_values=jnp.inf)
         probe_local = jnp.pad(probe_local, (0, u_pad - u))
 
-    grid = (c // _R_BLK, u_pad // ut)
+    grid = (_round_up(c, _R_BLK) // _R_BLK, u_pad // ut)
     lo_arr = jnp.reshape(jnp.asarray(lo, jnp.int32), (1,))
     col_lo_arr = jnp.reshape(jnp.asarray(col_lo, jnp.int32), (1,))
 

@@ -46,6 +46,7 @@ def bench(num_items: int, name: str, dtype: str = "float32") -> None:
     ]
     test = sbr.datasets.synthetic_interactions(512, num_items, 20, rng=1).to_compressed()
 
+    recs_by_flag = {}
     for flag in ("1", "0"):
         os.environ["SBR_PALLAS_TOPK"] = flag
         os.environ["SBR_PALLAS_EVAL"] = flag
@@ -60,6 +61,7 @@ def bench(num_items: int, name: str, dtype: str = "float32") -> None:
             recs = model.recommend_batch(histories, k=10)
             best = min(best, time.perf_counter() - t0)
         assert len(recs) == u and len(set(recs[0])) == 10
+        recs_by_flag[flag] = recs
 
         evaluation.mrr_score(model, test)  # warm/compile
         ev = float("inf")
@@ -82,6 +84,16 @@ def bench(num_items: int, name: str, dtype: str = "float32") -> None:
             ),
             flush=True,
         )
+
+    # Fused vs XLA id-list parity (both are exact top-k over the same f32
+    # scores; ulp-class ties at the k-th value may flip — report, don't
+    # assert).
+    same = sum(
+        1 for a, b in zip(recs_by_flag["1"], recs_by_flag["0"]) if list(a) == list(b)
+    )
+    print(
+        json.dumps({"config": name, "id_lists_equal": same, "of": u}), flush=True
+    )
 
 
 TARGETS = {

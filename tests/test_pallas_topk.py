@@ -49,10 +49,77 @@ def test_groupmax_multiblock(group):
 
 
 def test_groupmax_unsupported_shapes():
-    assert not ptk.groupmax_supported(1024, 33, 8, 128)  # c % 2048 != 0
     assert not ptk.groupmax_supported(2048, 33, 8, 48)  # not a sublane multiple
     assert not ptk.groupmax_supported(2048, 33, 8, 256)  # wider than a lane row
     assert not ptk.groupmax_supported(2048, 1024, 8, 128)  # cc too wide
+    # Ragged row counts ARE supported (whole-catalog mode) — the output
+    # then carries groupmax_rows(c, group) rows.
+    assert ptk.groupmax_supported(1024, 33, 8, 128)
+    assert ptk.groupmax_rows(1024, 128) == 2048 // 128
+    assert ptk.groupmax_rows(5000, 32) == 6144 // 32
+
+
+@pytest.mark.parametrize("group", [32, 128])
+@pytest.mark.parametrize("u", [5, 512])
+def test_groupmax_whole_catalog_ragged(group, u):
+    # Whole-catalog mode: c == n, not a multiple of the 2048 row block.
+    # The ragged tail past n must come back -inf and real groups must
+    # match the XLA formulation computed on an explicitly padded table.
+    c = n = 5000
+    cc = 65
+    chunk, reps = _mk(c, cc, u, n, seed=11)
+    got = ptk.score_groupmax(chunk, reps, 0, n, group, interpret=True)
+    rows = ptk.groupmax_rows(c, group)
+    assert got.shape == (rows, u)
+    pad = rows * group - c
+    padded = jnp.concatenate([chunk, jnp.zeros((pad, cc), chunk.dtype)])
+    want = ptk.score_groupmax_xla(padded, reps, 0, n, group)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    # Groups entirely past the catalog end are -inf.
+    full = n // group
+    assert np.all(np.isneginf(np.asarray(got)[full + (1 if n % group else 0):]))
+
+
+@pytest.mark.parametrize("sub,group", [(32, 128), (64, 128), (8, 32)])
+@pytest.mark.parametrize("u", [5, 512])
+def test_submax_groupmax_matches_xla(sub, group, u):
+    # Dual-output kernel (subgroup + group maxima in one pass), ragged
+    # whole-catalog shape.
+    c = n = 5000
+    cc = 65
+    chunk, reps = _mk(c, cc, u, n, seed=17)
+    got_s, got_g = ptk.score_submax_groupmax(
+        chunk, reps, 0, n, sub, group, interpret=True
+    )
+    rows_s = ptk.groupmax_rows(c, sub)
+    rows_g = ptk.groupmax_rows(c, group)
+    assert got_s.shape == (rows_s, u) and got_g.shape == (rows_g, u)
+    pad = rows_s * sub - c
+    padded = jnp.concatenate([chunk, jnp.zeros((pad, cc), chunk.dtype)])
+    want_s, want_g = ptk.score_submax_groupmax_xla(padded, reps, 0, n, sub, group)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g), rtol=1e-6)
+    # The group maxima must equal the reduce of the emitted submax stack.
+    r = group // sub
+    re = jnp.max(jnp.asarray(got_s).reshape(rows_g, r, u), axis=1)
+    np.testing.assert_array_equal(np.asarray(re), np.asarray(got_g))
+
+
+@pytest.mark.parametrize("u", [3, 512])
+def test_count_ge_whole_catalog_ragged(u):
+    # Whole-catalog mode for the eval counter: c == n, ragged row block.
+    c = n = 4500
+    cc = 33
+    rng = np.random.default_rng(13)
+    chunk, reps = _mk(c, cc, u, n, seed=13)
+    targets = jnp.asarray(rng.normal(size=(u,)).astype(np.float32))
+    probe = jnp.asarray(rng.integers(0, n, size=(u,)).astype(np.int32))
+    want_c, want_p = ptk.score_count_ge_xla(chunk, reps, targets, probe, 0, 0, n)
+    got_c, got_p = ptk.score_count_ge(
+        chunk, reps, targets, probe, 0, 0, n, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p), rtol=1e-6)
 
 
 @pytest.mark.parametrize("u", [1, 5, 512])
