@@ -906,8 +906,17 @@ class ImplicitSequenceModel:
                 # exceed _SUBMAX_BUFFER_BYTES; when the fused kernel is in
                 # play, only widths it supports are eligible (losing the
                 # kernel to buy a narrower subgroup is a net loss).
+                # Kernel support at GROUP width. Single-pass calls run on
+                # the WHOLE catalog (lo=0, c=n): a ragged final row block
+                # is safe because every Pallas pad row is past the catalog
+                # end. The running merge makes MID-catalog chunked calls,
+                # where a ragged serve_chunk would let undefined pad rows
+                # through the gid<n mask and alias pad groups into the
+                # next chunk's group-id space (advisor r4) — those calls
+                # keep the c % _R_BLK divisibility gate.
                 kernel_ok = pallas_topk and _ptk.groupmax_supported(
-                    serve_chunk, c_param, u, group
+                    n if single_pass else serve_chunk, c_param, u, group,
+                    allow_ragged=single_pass,
                 )
                 sub = group
                 if single_pass:
@@ -918,7 +927,7 @@ class ImplicitSequenceModel:
                         if stack_bytes > self._SUBMAX_BUFFER_BYTES:
                             continue
                         if kernel_ok and not _ptk.groupmax_supported(
-                            serve_chunk, c_param, u, d
+                            n, c_param, u, d, allow_ragged=True
                         ):
                             continue
                         sub = d
@@ -926,8 +935,18 @@ class ImplicitSequenceModel:
                 r = group // sub
                 subs_per_chunk = serve_chunk // sub
                 total_subs = num_chunks * subs_per_chunk
-                use_pallas = pallas_topk and _ptk.groupmax_supported(
-                    serve_chunk, c_param, u, sub
+                # The r > 1 single-pass branch calls score_submax_groupmax,
+                # which needs BOTH widths supported — require kernel_ok
+                # (group-width support) there so an unsupported group falls
+                # back to XLA instead of tripping a trace-time assert
+                # (advisor r4).
+                use_pallas = (
+                    pallas_topk
+                    and _ptk.groupmax_supported(
+                        n if single_pass else serve_chunk, c_param, u, sub,
+                        allow_ragged=single_pass,
+                    )
+                    and (r == 1 or kernel_ok)
                 )
 
                 def chunk_submax(c):
@@ -987,11 +1006,13 @@ class ImplicitSequenceModel:
                         # relayout copy (measured OOM at 20M/U=4096).
                         if r > 1:
                             allsub, gmax = _ptk.score_submax_groupmax(
-                                table, reps_aug, 0, n, sub, group
+                                table, reps_aug, 0, n, sub, group,
+                                allow_ragged=True,
                             )  # [S_all, U], [G_all, U]
                         else:
                             allsub = _ptk.score_groupmax(
-                                table, reps_aug, 0, n, sub
+                                table, reps_aug, 0, n, sub,
+                                allow_ragged=True,
                             )  # [S_all, U]
                             gmax = allsub
                         allg = gmax.T  # [U, G_all]

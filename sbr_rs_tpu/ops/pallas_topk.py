@@ -127,15 +127,27 @@ _R_BLK = 2048
 _U_TILE = 512
 
 
-def groupmax_supported(c: int, cc: int, u: int, group: int) -> bool:
+def groupmax_supported(
+    c: int, cc: int, u: int, group: int, *, allow_ragged: bool = False
+) -> bool:
     """Static shape gate for the Pallas path. Group widths below 128 feed
     the serving path's subgroup refinement (``models/base.py``): the tile
     reshape-reduce runs over sublanes, so any multiple of the 8-row
-    sublane that divides the row block lowers. ``c`` need not divide the
-    row block (whole-catalog mode): the grid rounds up and rows past the
-    ragged edge are masked to ``-inf`` by the ``gid < n`` test, but the
-    OUTPUT then carries ``ceil(c / _R_BLK) * _R_BLK // group`` rows — use
+    sublane that divides the row block lowers.
+
+    Ragged ``c`` (not a multiple of ``_R_BLK``) is ONLY safe in
+    whole-catalog calls: the grid rounds up, Pallas pads the final row
+    block with UNDEFINED rows, and the ``gid < n`` mask neutralizes them
+    only when every padded row id is past the catalog end (``lo + c >=
+    n``). A mid-catalog chunked call with ragged ``c`` would let garbage
+    pad scores through the mask — and with a single-level reduce also map
+    pad groups into the NEXT chunk's group-id space. Callers that
+    statically guarantee ``lo + c >= n`` pass ``allow_ragged=True``;
+    everyone else gets the divisibility gate. Ragged output carries
+    ``ceil(c / _R_BLK) * _R_BLK // group`` rows — use
     :func:`groupmax_rows` for the caller-side row count."""
+    if not allow_ragged and c % _R_BLK != 0:
+        return False
     return group in (8, 16, 32, 64, 128) and cc <= 512 and u >= 1
 
 
@@ -153,6 +165,7 @@ def score_groupmax(
     n: int,
     group: int,
     *,
+    allow_ragged: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused-kernel ``[G, U]`` group maxima (see module docstring).
@@ -161,11 +174,14 @@ def score_groupmax(
     :func:`score_groupmax_xla`. ``chunk_rows`` may be the WHOLE catalog
     (whole-catalog mode, ``lo=0``): a ragged final row block is padded by
     the pipeline and masked to ``-inf`` by the ``gid < n`` test, and the
-    output carries :func:`groupmax_rows`\\ ``(c, group)`` rows.
+    output carries :func:`groupmax_rows`\\ ``(c, group)`` rows. Ragged
+    ``c`` requires ``allow_ragged=True`` — the caller's static promise
+    that ``lo + c >= n`` (see :func:`groupmax_supported`; ``lo`` may be
+    traced, so the promise cannot be checked here).
     """
     c, cc = chunk_rows.shape
     u = reps_aug.shape[0]
-    assert groupmax_supported(c, cc, u, group)
+    assert groupmax_supported(c, cc, u, group, allow_ragged=allow_ragged)
     # User tile: full batch when small, 512-wide tiles when large. Padding
     # users with zero reps is harmless — their outputs are sliced away.
     if u >= _U_TILE:
@@ -222,18 +238,20 @@ def score_submax_groupmax(
     sub: int,
     group: int,
     *,
+    allow_ragged: bool = False,
     interpret: bool = False,
 ):
     """Fused ``([S, U] subgroup maxima, [G, U] group maxima)`` in one pass
     (see :func:`_submax_groupmax_kernel`). Requires ``sub`` dividing
     ``group``, both supported widths (:func:`groupmax_supported`); ragged
-    ``c`` follows the whole-catalog rules of :func:`score_groupmax`.
+    ``c`` follows the whole-catalog rules of :func:`score_groupmax`
+    (``allow_ragged=True`` = caller's static ``lo + c >= n`` promise).
     """
     c, cc = chunk_rows.shape
     u = reps_aug.shape[0]
     assert group % sub == 0 and sub < group
-    assert groupmax_supported(c, cc, u, sub)
-    assert groupmax_supported(c, cc, u, group)
+    assert groupmax_supported(c, cc, u, sub, allow_ragged=allow_ragged)
+    assert groupmax_supported(c, cc, u, group, allow_ragged=allow_ragged)
     if u >= _U_TILE:
         ut = _U_TILE
         u_pad = _round_up(u, ut)
@@ -345,12 +363,19 @@ def _count_kernel(
     )
 
 
-def count_supported(c: int, cc: int, u: int) -> bool:
-    """``c`` need not divide the row block (whole-catalog mode): the grid
-    rounds up and ragged-edge rows are excluded by the ``gid < n``
-    validity test — which makes ragged ``c`` safe only when the rows past
-    the edge are also past the catalog end (``lo + c >= n``, i.e. the
-    whole-catalog call)."""
+def count_supported(
+    c: int, cc: int, u: int, *, allow_ragged: bool = False
+) -> bool:
+    """Static shape gate for :func:`score_count_ge`. Ragged ``c`` (not a
+    multiple of ``_R_BLK``) is safe only when the undefined Pallas pad
+    rows past the edge are also past the catalog end (``lo + c >= n``,
+    i.e. the whole-catalog call) — otherwise pad rows with ``gid < n``
+    would count as real items, silently corrupting ranks. Callers that
+    statically guarantee ``lo + c >= n`` pass ``allow_ragged=True``;
+    everyone else gets the divisibility gate (machine-enforcing the
+    contract the round-4 version only documented)."""
+    if not allow_ragged and c % _R_BLK != 0:
+        return False
     return cc <= 512 and u >= 1
 
 
@@ -363,16 +388,19 @@ def score_count_ge(
     col_lo,
     n: int,
     *,
+    allow_ragged: bool = False,
     interpret: bool = False,
 ):
     """Fused-kernel streamed rank count (see :func:`score_count_ge_xla`).
 
     ``chunk_rows`` may be the WHOLE catalog (whole-catalog mode, ``lo=0``,
     ``col_lo=0``): the ragged final row block is masked by ``gid < n``.
+    Ragged ``c`` requires ``allow_ragged=True`` — the caller's static
+    promise that ``lo + c >= n`` (see :func:`count_supported`).
     """
     c, cc = chunk_rows.shape
     u = reps_aug.shape[0]
-    assert count_supported(c, cc, u)
+    assert count_supported(c, cc, u, allow_ragged=allow_ragged)
     if u >= _U_TILE:
         ut = _U_TILE
         u_pad = _round_up(u, ut)

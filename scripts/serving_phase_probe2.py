@@ -56,27 +56,43 @@ def main() -> None:
     s_width = 31
     kk = k + s_width
 
+    def submax_gmax(table, reps_aug):
+        # Mirror the SHIPPED single-pass path exactly (base.py): with
+        # r > 1 the dual-output kernel emits subgroup AND group maxima
+        # from the same in-register tile — deriving group maxima by
+        # reshaping the stack outside the kernel materializes a
+        # stack-sized relayout copy that OOMed 20M/U=4096 (advisor r4).
+        if r > 1:
+            allsub, gmax = ptk.score_submax_groupmax(
+                table, reps_aug, 0, n, sub, group, allow_ragged=True
+            )
+        else:
+            allsub = ptk.score_groupmax(
+                table, reps_aug, 0, n, sub, allow_ragged=True
+            )
+            gmax = allsub
+        return allsub, gmax
+
     @jax.jit
     def kernel_only(table, reps_aug):
-        allsub = ptk.score_groupmax(table, reps_aug, 0, n, sub)  # [S, U]
-        return jnp.max(allsub, axis=0)  # force materialization, tiny fetch
+        allsub, gmax = submax_gmax(table, reps_aug)
+        # force materialization, tiny fetch
+        return jnp.max(allsub, axis=0), jnp.max(gmax, axis=0)
 
     @jax.jit
     def through_merge(table, reps_aug):
-        allsub = ptk.score_groupmax(table, reps_aug, 0, n, sub)
-        n_subs = allsub.shape[0]
-        n_groups = n_subs // r
-        allg = jnp.max(allsub.reshape(n_groups, r, u), axis=1).T  # [U, G]
+        allsub, gmax = submax_gmax(table, reps_aug)
+        allg = gmax.T  # [U, G]
+        n_groups = allg.shape[1]
         w1 = min(kk, n_groups)
         _, gids = jax.lax.top_k(allg, w1)
         return gids
 
     @jax.jit
     def through_refine(table, reps_aug):
-        allsub = ptk.score_groupmax(table, reps_aug, 0, n, sub)
-        n_subs = allsub.shape[0]
-        n_groups = n_subs // r
-        allg = jnp.max(allsub.reshape(n_groups, r, u), axis=1).T
+        allsub, gmax = submax_gmax(table, reps_aug)
+        allg = gmax.T
+        n_groups = allg.shape[1]
         w1 = min(kk, n_groups)
         _, gids = jax.lax.top_k(allg, w1)
         sids = (

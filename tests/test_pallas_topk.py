@@ -52,9 +52,14 @@ def test_groupmax_unsupported_shapes():
     assert not ptk.groupmax_supported(2048, 33, 8, 48)  # not a sublane multiple
     assert not ptk.groupmax_supported(2048, 33, 8, 256)  # wider than a lane row
     assert not ptk.groupmax_supported(2048, 1024, 8, 128)  # cc too wide
-    # Ragged row counts ARE supported (whole-catalog mode) — the output
-    # then carries groupmax_rows(c, group) rows.
-    assert ptk.groupmax_supported(1024, 33, 8, 128)
+    # Ragged row counts are supported ONLY under the whole-catalog promise
+    # (allow_ragged=True, caller guarantees lo + c >= n): a mid-catalog
+    # chunked call with ragged c would let undefined Pallas pad rows
+    # through the gid < n mask (advisor r4).
+    assert not ptk.groupmax_supported(1024, 33, 8, 128)
+    assert ptk.groupmax_supported(1024, 33, 8, 128, allow_ragged=True)
+    assert not ptk.count_supported(1024, 33, 8)
+    assert ptk.count_supported(1024, 33, 8, allow_ragged=True)
     assert ptk.groupmax_rows(1024, 128) == 2048 // 128
     assert ptk.groupmax_rows(5000, 32) == 6144 // 32
 
@@ -68,7 +73,9 @@ def test_groupmax_whole_catalog_ragged(group, u):
     c = n = 5000
     cc = 65
     chunk, reps = _mk(c, cc, u, n, seed=11)
-    got = ptk.score_groupmax(chunk, reps, 0, n, group, interpret=True)
+    got = ptk.score_groupmax(
+        chunk, reps, 0, n, group, allow_ragged=True, interpret=True
+    )
     rows = ptk.groupmax_rows(c, group)
     assert got.shape == (rows, u)
     pad = rows * group - c
@@ -89,7 +96,7 @@ def test_submax_groupmax_matches_xla(sub, group, u):
     cc = 65
     chunk, reps = _mk(c, cc, u, n, seed=17)
     got_s, got_g = ptk.score_submax_groupmax(
-        chunk, reps, 0, n, sub, group, interpret=True
+        chunk, reps, 0, n, sub, group, allow_ragged=True, interpret=True
     )
     rows_s = ptk.groupmax_rows(c, sub)
     rows_g = ptk.groupmax_rows(c, group)
@@ -116,7 +123,7 @@ def test_count_ge_whole_catalog_ragged(u):
     probe = jnp.asarray(rng.integers(0, n, size=(u,)).astype(np.int32))
     want_c, want_p = ptk.score_count_ge_xla(chunk, reps, targets, probe, 0, 0, n)
     got_c, got_p = ptk.score_count_ge(
-        chunk, reps, targets, probe, 0, 0, n, interpret=True
+        chunk, reps, targets, probe, 0, 0, n, allow_ragged=True, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p), rtol=1e-6)
