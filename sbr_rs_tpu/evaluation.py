@@ -78,8 +78,7 @@ def _make_catalog_counter_pallas(num_items: int):
         reps_aug = jnp.concatenate([reps, jnp.ones((u, 1), reps.dtype)], axis=1)
 
         counts_all, probe_tot = ptk.score_count_ge(
-            table, reps_aug, targets, test_items, 0, 0, num_items,
-            allow_ragged=True,  # whole-catalog call: lo=0, c=n
+            table, reps_aug, targets, test_items, 0, 0, num_items
         )
 
         # Seen correction: distinct valid prefix rows, scored with the same
@@ -260,9 +259,7 @@ def _ranks_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -
     use_pallas = (
         num_chunks > 1
         and _pallas_eval_enabled(model)
-        and ptk.count_supported(
-            num_items, table.shape[1], u_pad, allow_ragged=True
-        )  # whole-catalog call (lo=0, c=n): ragged final block is safe
+        and ptk.count_supported(num_items, table.shape[1], u_pad)
     )
     if use_pallas:
         count_catalog = _make_catalog_counter_pallas(num_items)

@@ -906,17 +906,12 @@ class ImplicitSequenceModel:
                 # exceed _SUBMAX_BUFFER_BYTES; when the fused kernel is in
                 # play, only widths it supports are eligible (losing the
                 # kernel to buy a narrower subgroup is a net loss).
-                # Kernel support at GROUP width. Single-pass calls run on
-                # the WHOLE catalog (lo=0, c=n): a ragged final row block
-                # is safe because every Pallas pad row is past the catalog
-                # end. The running merge makes MID-catalog chunked calls,
-                # where a ragged serve_chunk would let undefined pad rows
-                # through the gid<n mask and alias pad groups into the
-                # next chunk's group-id space (advisor r4) — those calls
-                # keep the c % _R_BLK divisibility gate.
+                # Kernel support at GROUP width. Ragged row counts are safe
+                # anywhere in the catalog (the kernel masks Pallas pad rows
+                # by LOCAL index too, advisor r4), so support is purely a
+                # width/operand-shape question.
                 kernel_ok = pallas_topk and _ptk.groupmax_supported(
-                    n if single_pass else serve_chunk, c_param, u, group,
-                    allow_ragged=single_pass,
+                    serve_chunk, c_param, u, group
                 )
                 sub = group
                 if single_pass:
@@ -927,7 +922,7 @@ class ImplicitSequenceModel:
                         if stack_bytes > self._SUBMAX_BUFFER_BYTES:
                             continue
                         if kernel_ok and not _ptk.groupmax_supported(
-                            n, c_param, u, d, allow_ragged=True
+                            serve_chunk, c_param, u, d
                         ):
                             continue
                         sub = d
@@ -942,10 +937,7 @@ class ImplicitSequenceModel:
                 # (advisor r4).
                 use_pallas = (
                     pallas_topk
-                    and _ptk.groupmax_supported(
-                        n if single_pass else serve_chunk, c_param, u, sub,
-                        allow_ragged=single_pass,
-                    )
+                    and _ptk.groupmax_supported(serve_chunk, c_param, u, sub)
                     and (r == 1 or kernel_ok)
                 )
 
@@ -957,9 +949,14 @@ class ImplicitSequenceModel:
                         # Fused score+group-max: the [C, U] score matrix
                         # lives in VMEM tiles only (~2 GB of HBM write+read
                         # per chunk at U=4096 removed), and bf16 rows upcast
-                        # in VMEM instead of through an HBM convert copy.
+                        # in VMEM instead of through an HBM convert copy. A
+                        # ragged serve_chunk pads the kernel output up to
+                        # the row block; the pad rows are -inf — slice them
+                        # off so the stacking/merge shape accounting stays
+                        # exactly subs_per_chunk rows per chunk.
                         tc = jnp.take(table, ids, axis=0, mode="clip")
-                        return _ptk.score_groupmax(tc, reps_aug, lo, n, sub)
+                        out = _ptk.score_groupmax(tc, reps_aug, lo, n, sub)
+                        return out[:subs_per_chunk]
                     tc = jax.lax.optimization_barrier(
                         jnp.take(table, ids, axis=0, mode="clip")
                     ).astype(jnp.float32)
@@ -1006,13 +1003,11 @@ class ImplicitSequenceModel:
                         # relayout copy (measured OOM at 20M/U=4096).
                         if r > 1:
                             allsub, gmax = _ptk.score_submax_groupmax(
-                                table, reps_aug, 0, n, sub, group,
-                                allow_ragged=True,
+                                table, reps_aug, 0, n, sub, group
                             )  # [S_all, U], [G_all, U]
                         else:
                             allsub = _ptk.score_groupmax(
-                                table, reps_aug, 0, n, sub,
-                                allow_ragged=True,
+                                table, reps_aug, 0, n, sub
                             )  # [S_all, U]
                             gmax = allsub
                         allg = gmax.T  # [U, G_all]

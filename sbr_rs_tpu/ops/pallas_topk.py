@@ -76,7 +76,9 @@ def score_groupmax_xla(
     return jnp.max(st.reshape(c // group, group, u), axis=1)  # [G, U]
 
 
-def _groupmax_kernel(lo_ref, rows_ref, reps_ref, out_ref, *, group, n, r_blk):
+def _groupmax_kernel(
+    lo_ref, rows_ref, reps_ref, out_ref, *, group, n, r_blk, c_total
+):
     i = pl.program_id(0)
     rows = rows_ref[:].astype(jnp.float32)
     scores = jax.lax.dot_general(
@@ -85,15 +87,19 @@ def _groupmax_kernel(lo_ref, rows_ref, reps_ref, out_ref, *, group, n, r_blk):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [R, UT]
-    gid = lo_ref[0] + i * r_blk + jax.lax.broadcasted_iota(
-        jnp.int32, (r_blk, 1), 0
-    )
-    scores = jnp.where(gid < n, scores, -jnp.inf)
+    local = i * r_blk + jax.lax.broadcasted_iota(jnp.int32, (r_blk, 1), 0)
+    gid = lo_ref[0] + local
+    # Validity needs BOTH bounds: `local < c_total` kills the UNDEFINED
+    # Pallas pad rows of a ragged final block even when the call is
+    # mid-catalog (sharded slabs: lo + c < n), `gid < n` kills real rows
+    # past the catalog end (clip-duplicated chunk tails).
+    scores = jnp.where((gid < n) & (local < c_total), scores, -jnp.inf)
     out_ref[:] = jnp.max(scores.reshape(r_blk // group, group, -1), axis=1)
 
 
 def _submax_groupmax_kernel(
-    lo_ref, rows_ref, reps_ref, sub_ref, grp_ref, *, sub, group, n, r_blk
+    lo_ref, rows_ref, reps_ref, sub_ref, grp_ref, *, sub, group, n, r_blk,
+    c_total,
 ):
     # Two-level variant: emit SUBGROUP maxima (for the serving path's
     # phase-2 refinement) AND GROUP maxima (for the wide phase-1 merge)
@@ -109,10 +115,10 @@ def _submax_groupmax_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [R, UT]
-    gid = lo_ref[0] + i * r_blk + jax.lax.broadcasted_iota(
-        jnp.int32, (r_blk, 1), 0
-    )
-    scores = jnp.where(gid < n, scores, -jnp.inf)
+    local = i * r_blk + jax.lax.broadcasted_iota(jnp.int32, (r_blk, 1), 0)
+    gid = lo_ref[0] + local
+    # Both validity bounds — see _groupmax_kernel.
+    scores = jnp.where((gid < n) & (local < c_total), scores, -jnp.inf)
     smax = jnp.max(scores.reshape(r_blk // sub, sub, -1), axis=1)
     sub_ref[:] = smax
     grp_ref[:] = jnp.max(
@@ -127,27 +133,21 @@ _R_BLK = 2048
 _U_TILE = 512
 
 
-def groupmax_supported(
-    c: int, cc: int, u: int, group: int, *, allow_ragged: bool = False
-) -> bool:
+def groupmax_supported(c: int, cc: int, u: int, group: int) -> bool:
     """Static shape gate for the Pallas path. Group widths below 128 feed
     the serving path's subgroup refinement (``models/base.py``): the tile
     reshape-reduce runs over sublanes, so any multiple of the 8-row
     sublane that divides the row block lowers.
 
-    Ragged ``c`` (not a multiple of ``_R_BLK``) is ONLY safe in
-    whole-catalog calls: the grid rounds up, Pallas pads the final row
-    block with UNDEFINED rows, and the ``gid < n`` mask neutralizes them
-    only when every padded row id is past the catalog end (``lo + c >=
-    n``). A mid-catalog chunked call with ragged ``c`` would let garbage
-    pad scores through the mask — and with a single-level reduce also map
-    pad groups into the NEXT chunk's group-id space. Callers that
-    statically guarantee ``lo + c >= n`` pass ``allow_ragged=True``;
-    everyone else gets the divisibility gate. Ragged output carries
-    ``ceil(c / _R_BLK) * _R_BLK // group`` rows — use
-    :func:`groupmax_rows` for the caller-side row count."""
-    if not allow_ragged and c % _R_BLK != 0:
-        return False
+    Ragged ``c`` (not a multiple of ``_R_BLK``) is safe ANYWHERE in the
+    catalog: the grid rounds up, Pallas pads the final row block with
+    UNDEFINED rows, and the kernel masks them by LOCAL row index
+    (``local < c``) in addition to the global ``gid < n`` bound — so
+    mid-catalog calls (chunked streams, shard_map slabs with ``lo + c <
+    n``) cannot leak garbage pad scores (advisor r4). Ragged output
+    carries ``ceil(c / _R_BLK) * _R_BLK // group`` rows, the trailing pad
+    rows all ``-inf`` — use :func:`groupmax_rows` for the caller-side row
+    count and slice or mask accordingly."""
     return group in (8, 16, 32, 64, 128) and cc <= 512 and u >= 1
 
 
@@ -165,23 +165,20 @@ def score_groupmax(
     n: int,
     group: int,
     *,
-    allow_ragged: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused-kernel ``[G, U]`` group maxima (see module docstring).
 
     Call :func:`groupmax_supported` first; unsupported shapes must use
     :func:`score_groupmax_xla`. ``chunk_rows`` may be the WHOLE catalog
-    (whole-catalog mode, ``lo=0``): a ragged final row block is padded by
-    the pipeline and masked to ``-inf`` by the ``gid < n`` test, and the
-    output carries :func:`groupmax_rows`\\ ``(c, group)`` rows. Ragged
-    ``c`` requires ``allow_ragged=True`` — the caller's static promise
-    that ``lo + c >= n`` (see :func:`groupmax_supported`; ``lo`` may be
-    traced, so the promise cannot be checked here).
+    (``lo=0``), a mid-catalog chunk, or a shard_map slab: a ragged final
+    row block is padded by the pipeline and masked to ``-inf`` inside the
+    kernel (both ``gid < n`` and ``local < c`` bounds), and the output
+    carries :func:`groupmax_rows`\\ ``(c, group)`` rows.
     """
     c, cc = chunk_rows.shape
     u = reps_aug.shape[0]
-    assert groupmax_supported(c, cc, u, group, allow_ragged=allow_ragged)
+    assert groupmax_supported(c, cc, u, group)
     # User tile: full batch when small, 512-wide tiles when large. Padding
     # users with zero reps is harmless — their outputs are sliced away.
     if u >= _U_TILE:
@@ -199,7 +196,9 @@ def score_groupmax(
     lo_arr = jnp.reshape(jnp.asarray(lo, jnp.int32), (1,))
 
     out = pl.pallas_call(
-        functools.partial(_groupmax_kernel, group=group, n=n, r_blk=_R_BLK),
+        functools.partial(
+            _groupmax_kernel, group=group, n=n, r_blk=_R_BLK, c_total=c
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -238,20 +237,18 @@ def score_submax_groupmax(
     sub: int,
     group: int,
     *,
-    allow_ragged: bool = False,
     interpret: bool = False,
 ):
     """Fused ``([S, U] subgroup maxima, [G, U] group maxima)`` in one pass
     (see :func:`_submax_groupmax_kernel`). Requires ``sub`` dividing
     ``group``, both supported widths (:func:`groupmax_supported`); ragged
-    ``c`` follows the whole-catalog rules of :func:`score_groupmax`
-    (``allow_ragged=True`` = caller's static ``lo + c >= n`` promise).
+    ``c`` follows the rules of :func:`score_groupmax`.
     """
     c, cc = chunk_rows.shape
     u = reps_aug.shape[0]
     assert group % sub == 0 and sub < group
-    assert groupmax_supported(c, cc, u, sub, allow_ragged=allow_ragged)
-    assert groupmax_supported(c, cc, u, group, allow_ragged=allow_ragged)
+    assert groupmax_supported(c, cc, u, sub)
+    assert groupmax_supported(c, cc, u, group)
     if u >= _U_TILE:
         ut = _U_TILE
         u_pad = _round_up(u, ut)
@@ -269,7 +266,8 @@ def score_submax_groupmax(
 
     smax, gmax = pl.pallas_call(
         functools.partial(
-            _submax_groupmax_kernel, sub=sub, group=group, n=n, r_blk=_R_BLK
+            _submax_groupmax_kernel, sub=sub, group=group, n=n, r_blk=_R_BLK,
+            c_total=c,
         ),
         grid=grid,
         in_specs=[
@@ -348,7 +346,15 @@ def _count_kernel(
         preferred_element_type=jnp.float32,
     )  # [R, UT]
     local = i * r_blk + jax.lax.broadcasted_iota(jnp.int32, (r_blk, 1), 0)
-    valid = ((lo_ref[0] + local) < n) & (local >= col_lo_ref[0])
+    # Three validity bounds: global id inside the catalog, local column
+    # past the clamped-chunk overlap, AND local column inside the actual
+    # input rows — the last one kills the UNDEFINED Pallas pad rows of a
+    # ragged final block even mid-catalog (sharded slabs, advisor r4).
+    valid = (
+        ((lo_ref[0] + local) < n)
+        & (local >= col_lo_ref[0])
+        & (local < c_total)
+    )
     ge = (scores >= targets_ref[0:1, :]) & valid
     counts_ref[0:1, :] += jnp.sum(ge.astype(jnp.int32), axis=0, keepdims=True)
 
@@ -363,19 +369,13 @@ def _count_kernel(
     )
 
 
-def count_supported(
-    c: int, cc: int, u: int, *, allow_ragged: bool = False
-) -> bool:
+def count_supported(c: int, cc: int, u: int) -> bool:
     """Static shape gate for :func:`score_count_ge`. Ragged ``c`` (not a
-    multiple of ``_R_BLK``) is safe only when the undefined Pallas pad
-    rows past the edge are also past the catalog end (``lo + c >= n``,
-    i.e. the whole-catalog call) — otherwise pad rows with ``gid < n``
-    would count as real items, silently corrupting ranks. Callers that
-    statically guarantee ``lo + c >= n`` pass ``allow_ragged=True``;
-    everyone else gets the divisibility gate (machine-enforcing the
-    contract the round-4 version only documented)."""
-    if not allow_ragged and c % _R_BLK != 0:
-        return False
+    multiple of ``_R_BLK``) is safe anywhere in the catalog: undefined
+    Pallas pad rows past the ragged edge are excluded by the in-kernel
+    ``local < c`` bound (in addition to ``gid < n``), so mid-catalog
+    calls — shard_map slabs with ``lo + c < n`` — cannot count garbage
+    rows (advisor r4)."""
     return cc <= 512 and u >= 1
 
 
@@ -388,19 +388,17 @@ def score_count_ge(
     col_lo,
     n: int,
     *,
-    allow_ragged: bool = False,
     interpret: bool = False,
 ):
     """Fused-kernel streamed rank count (see :func:`score_count_ge_xla`).
 
-    ``chunk_rows`` may be the WHOLE catalog (whole-catalog mode, ``lo=0``,
-    ``col_lo=0``): the ragged final row block is masked by ``gid < n``.
-    Ragged ``c`` requires ``allow_ragged=True`` — the caller's static
-    promise that ``lo + c >= n`` (see :func:`count_supported`).
+    ``chunk_rows`` may be the WHOLE catalog (``lo=0``, ``col_lo=0``), a
+    mid-catalog chunk, or a shard_map slab: a ragged final row block is
+    excluded inside the kernel (``gid < n`` and ``local < c`` bounds).
     """
     c, cc = chunk_rows.shape
     u = reps_aug.shape[0]
-    assert count_supported(c, cc, u, allow_ragged=allow_ragged)
+    assert count_supported(c, cc, u)
     if u >= _U_TILE:
         ut = _U_TILE
         u_pad = _round_up(u, ut)

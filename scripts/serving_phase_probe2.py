@@ -64,11 +64,11 @@ def main() -> None:
         # stack-sized relayout copy that OOMed 20M/U=4096 (advisor r4).
         if r > 1:
             allsub, gmax = ptk.score_submax_groupmax(
-                table, reps_aug, 0, n, sub, group, allow_ragged=True
+                table, reps_aug, 0, n, sub, group
             )
         else:
             allsub = ptk.score_groupmax(
-                table, reps_aug, 0, n, sub, allow_ragged=True
+                table, reps_aug, 0, n, sub
             )
             gmax = allsub
         return allsub, gmax

@@ -561,33 +561,32 @@ def test_recommend_batch_running_merge_branch(monkeypatch):
         ImplicitSequenceModel._TOPK_FN_CACHE.clear()
 
 
-def test_recommend_batch_ragged_chunk_falls_back_to_xla(monkeypatch):
-    """A serve chunk that is NOT a multiple of the kernel row block must
-    refuse the Pallas kernel on the RUNNING-MERGE (mid-catalog chunked)
-    path — Pallas pads the ragged final block with UNDEFINED rows whose
-    global ids are still < n, so garbage scores would pass the validity
-    mask (advisor r4). The gate falls back to the XLA formulation, which
-    must still equal the dense argsort."""
+def test_recommend_batch_ragged_chunk_pallas_running_merge(monkeypatch):
+    """A serve chunk that is NOT a multiple of the kernel row block on the
+    RUNNING-MERGE (mid-catalog chunked) path: Pallas pads the ragged final
+    block with UNDEFINED rows whose global ids are still < n — the
+    in-kernel local < c bound must mask them and the caller slices the pad
+    groups off, so the kernel path still equals the dense argsort
+    (advisor r4's failure mode, fixed at the root)."""
+    from jax.experimental.pallas import tpu as pltpu
+
     from sbr_rs_tpu.models.base import ImplicitSequenceModel
-    from sbr_rs_tpu.ops import pallas_topk as ptk
 
     num_items = 7000
     model = (
         lstm.Hyperparameters(num_items, 8).embedding_dim(16).num_epochs(1)
         .batch_size(16).from_seed(3).build()
     )
-    # 3000 is not a multiple of the 2048 row block: chunked (mid-catalog)
-    # calls are unsafe, so support must be denied without the
-    # whole-catalog promise and granted with it.
-    assert not ptk.groupmax_supported(3000, 17, 8, 128)
-    assert ptk.groupmax_supported(3000, 17, 8, 128, allow_ragged=True)
+    # 3000 is not a multiple of the 2048 row block → every chunk call is
+    # a ragged mid-catalog call.
     monkeypatch.setattr(ImplicitSequenceModel, "_SERVE_ITEM_CHUNK", 3000)
     monkeypatch.setattr(ImplicitSequenceModel, "_MERGE_BUFFER_BYTES", 0)
     monkeypatch.setenv("SBR_PALLAS_TOPK", "1")
     ImplicitSequenceModel._TOPK_FN_CACHE.clear()
     try:
         histories = [[1, 2, 3], [6990, 6999], []]
-        got = model.recommend_batch(histories, k=6)
+        with pltpu.force_tpu_interpret_mode():
+            got = model.recommend_batch(histories, k=6)
         for h, g in zip(histories, got):
             rep = model.user_representation(h)
             scores = np.array(model.predict(rep))

@@ -52,16 +52,58 @@ def test_groupmax_unsupported_shapes():
     assert not ptk.groupmax_supported(2048, 33, 8, 48)  # not a sublane multiple
     assert not ptk.groupmax_supported(2048, 33, 8, 256)  # wider than a lane row
     assert not ptk.groupmax_supported(2048, 1024, 8, 128)  # cc too wide
-    # Ragged row counts are supported ONLY under the whole-catalog promise
-    # (allow_ragged=True, caller guarantees lo + c >= n): a mid-catalog
-    # chunked call with ragged c would let undefined Pallas pad rows
-    # through the gid < n mask (advisor r4).
-    assert not ptk.groupmax_supported(1024, 33, 8, 128)
-    assert ptk.groupmax_supported(1024, 33, 8, 128, allow_ragged=True)
-    assert not ptk.count_supported(1024, 33, 8)
-    assert ptk.count_supported(1024, 33, 8, allow_ragged=True)
+    # Ragged row counts are supported ANYWHERE in the catalog: the kernel
+    # masks Pallas pad rows by local index too (advisor r4) — the output
+    # then carries groupmax_rows(c, group) rows, the trailing pads -inf.
+    assert ptk.groupmax_supported(1024, 33, 8, 128)
+    assert ptk.count_supported(1024, 33, 8)
     assert ptk.groupmax_rows(1024, 128) == 2048 // 128
     assert ptk.groupmax_rows(5000, 32) == 6144 // 32
+
+
+@pytest.mark.parametrize("group", [32, 128])
+def test_groupmax_ragged_mid_catalog(group):
+    # MID-catalog ragged chunk: lo + c < n, c not a multiple of the 2048
+    # row block. The undefined Pallas pad rows' global ids are < n, so
+    # only the in-kernel local < c bound keeps them out (advisor r4's
+    # failure mode). Equivalence vs the XLA formulation on an explicitly
+    # -inf-padded tail.
+    c, cc, u, n = 3000, 33, 16, 100_000
+    lo = 4096
+    chunk, reps = _mk(c, cc, u, n, seed=23)
+    got = ptk.score_groupmax(chunk, reps, lo, n, group, interpret=True)
+    rows = ptk.groupmax_rows(c, group)
+    assert got.shape == (rows, u)
+    # Compare against an explicit dense formulation: pad rows are NaN in
+    # the input (any garbage must be masked, not propagated), validity is
+    # (gid < n) & (local < c).
+    pad = rows * group - c
+    padded = jnp.concatenate(
+        [chunk.astype(jnp.float32), jnp.full((pad, cc), np.nan, jnp.float32)]
+    )
+    st = padded @ reps.T
+    ids = lo + np.arange(rows * group)
+    valid = (ids < n) & (np.arange(rows * group) < c)
+    st = jnp.where(jnp.asarray(valid)[:, None], st, -jnp.inf)
+    want = jnp.max(st.reshape(rows, group, u), axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_count_ge_ragged_mid_catalog():
+    # Same failure mode for the count kernel: a mid-catalog ragged slab
+    # (shard_map shard with lo + c < n) must not count pad rows.
+    c, cc, u, n = 2500, 33, 8, 100_000
+    lo = 2048
+    rng = np.random.default_rng(29)
+    chunk, reps = _mk(c, cc, u, n, seed=29)
+    targets = jnp.asarray(rng.normal(size=(u,)).astype(np.float32) - 3.0)
+    probe = jnp.asarray(rng.integers(0, c, size=(u,)).astype(np.int32))
+    want_c, want_p = ptk.score_count_ge_xla(chunk, reps, targets, probe, lo, 0, n)
+    got_c, got_p = ptk.score_count_ge(
+        chunk, reps, targets, probe, lo, 0, n, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p), rtol=1e-6)
 
 
 @pytest.mark.parametrize("group", [32, 128])
@@ -74,7 +116,7 @@ def test_groupmax_whole_catalog_ragged(group, u):
     cc = 65
     chunk, reps = _mk(c, cc, u, n, seed=11)
     got = ptk.score_groupmax(
-        chunk, reps, 0, n, group, allow_ragged=True, interpret=True
+        chunk, reps, 0, n, group, interpret=True
     )
     rows = ptk.groupmax_rows(c, group)
     assert got.shape == (rows, u)
@@ -96,7 +138,7 @@ def test_submax_groupmax_matches_xla(sub, group, u):
     cc = 65
     chunk, reps = _mk(c, cc, u, n, seed=17)
     got_s, got_g = ptk.score_submax_groupmax(
-        chunk, reps, 0, n, sub, group, allow_ragged=True, interpret=True
+        chunk, reps, 0, n, sub, group, interpret=True
     )
     rows_s = ptk.groupmax_rows(c, sub)
     rows_g = ptk.groupmax_rows(c, group)
@@ -123,7 +165,7 @@ def test_count_ge_whole_catalog_ragged(u):
     probe = jnp.asarray(rng.integers(0, n, size=(u,)).astype(np.int32))
     want_c, want_p = ptk.score_count_ge_xla(chunk, reps, targets, probe, 0, 0, n)
     got_c, got_p = ptk.score_count_ge(
-        chunk, reps, targets, probe, 0, 0, n, allow_ragged=True, interpret=True
+        chunk, reps, targets, probe, 0, 0, n, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p), rtol=1e-6)
