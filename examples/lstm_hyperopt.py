@@ -14,6 +14,14 @@ Usage::
 ``--model`` extends the driver to every model family (each
 ``Hyperparameters.random`` draws the same common ranges; attention adds
 depth/heads).
+
+Search-space note: unlike the reference, ``random()`` does NOT sample
+``parallelism`` — the knob is a documented no-op here (Hogwild is
+meaningless on TPU), so sampling it would only add a noise column. The
+committed ``lstm_results.json`` (1000 trials) predates this change: its
+``parallelism`` field varies but had no effect on any trial; every other
+field is a live knob. ``num_threads`` collapses to the constant 1 on a
+single-device host (it is the realized data-parallel mesh degree).
 """
 
 from __future__ import annotations

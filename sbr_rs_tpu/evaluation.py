@@ -32,22 +32,23 @@ _ITEM_CHUNK = 65536
 
 def _pallas_eval_enabled(model) -> bool:
     """Fused score+count kernel on the STREAMED (multi-chunk) eval path:
-    env override > auto (TPU backends, mesh-less). Single-chunk catalogs
-    (every ML-100K quality gate) always use the XLA formulation below, so
-    gate trajectories never move."""
+    env override > auto (TPU backends). Single-chunk catalogs (every
+    ML-100K quality gate) always use the XLA formulation below, so gate
+    trajectories never move. Row-sharded tables compose the kernel with
+    the mesh via ``jax.shard_map`` (each shard counts its own slab, one
+    ``psum`` merges — see :func:`_make_catalog_counter_pallas_sharded`);
+    catalogs not divisible by the model-axis degree fall back to the XLA
+    formulation, which SPMD shards on its own."""
     import os
 
     env = os.environ.get("SBR_PALLAS_EVAL")
     if env is not None:
         return env not in ("0", "false", "off")
-    return (
-        jax.default_backend() in ("tpu", "axon")
-        and model.hyper._mesh is None
-    )
+    return jax.default_backend() in ("tpu", "axon")
 
 
 @functools.lru_cache(maxsize=None)
-def _make_catalog_counter_pallas(num_items: int):
+def _make_catalog_counter_pallas(num_items: int, mesh=None, _interpret=False):
     """Fused-kernel variant of :func:`_make_catalog_counter`
     (:mod:`sbr_rs_tpu.ops.pallas_topk`): ONE whole-catalog kernel call
     reduces scores to per-user ``>= target`` counts inside VMEM — the
@@ -66,8 +67,50 @@ def _make_catalog_counter_pallas(num_items: int):
     the documented target-vs-chunk rounding hazard below, a last-ulp
     disagreement between two MXU formulations of the same dot could in
     principle flip one ``>=`` at an exact tie — the reference protocol's
-    already-accepted float hazard class (``src/evaluation.rs:37-41``)."""
+    already-accepted float hazard class (``src/evaluation.rs:37-41``).
+
+    With ``mesh`` (a row-sharded table), the kernel is composed with the
+    mesh via ``jax.shard_map`` over the model axis: each shard counts its
+    own contiguous slab (``lo = shard * n_loc``; a ragged slab is safe —
+    the kernel masks Pallas pad rows by local index) and one ``psum``
+    merges the counts; the probe score is taken from the OWNER shard only
+    (other shards' clamped-probe outputs are discarded before the psum).
+    Requires ``num_items`` divisible by the model-axis degree — the
+    caller gates on that."""
     from .ops import pallas_topk as ptk
+
+    if mesh is not None:
+        from .parallel.mesh import MODEL_AXIS
+
+        ns = mesh.shape[MODEL_AXIS]
+        n_loc = num_items // ns
+        P = jax.sharding.PartitionSpec
+
+        def shard_count(table_loc, reps_aug, targets, test_items):
+            idx = jax.lax.axis_index(MODEL_AXIS)
+            lo = idx * n_loc
+            counts, probe = ptk.score_count_ge(
+                table_loc, reps_aug, targets, test_items - lo, lo, 0,
+                num_items,
+            )
+            in_shard = (test_items >= lo) & (test_items < lo + n_loc)
+            return (
+                jax.lax.psum(counts, MODEL_AXIS),
+                jax.lax.psum(jnp.where(in_shard, probe, 0.0), MODEL_AXIS),
+            )
+
+        count_ge = jax.shard_map(
+            shard_count,
+            mesh=mesh,
+            in_specs=(P(MODEL_AXIS, None), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    else:
+        def count_ge(table, reps_aug, targets, test_items):
+            return ptk.score_count_ge(
+                table, reps_aug, targets, test_items, 0, 0, num_items
+            )
 
     @jax.jit
     def count_catalog(table, reps, prefix, test_items, test_in_prefix):
@@ -77,9 +120,7 @@ def _make_catalog_counter_pallas(num_items: int):
         targets = jnp.where(test_in_prefix, _NEG_MIN, raw)
         reps_aug = jnp.concatenate([reps, jnp.ones((u, 1), reps.dtype)], axis=1)
 
-        counts_all, probe_tot = ptk.score_count_ge(
-            table, reps_aug, targets, test_items, 0, 0, num_items
-        )
+        counts_all, probe_tot = count_ge(table, reps_aug, targets, test_items)
 
         # Seen correction: distinct valid prefix rows, scored with the same
         # augmented-dot formulation as the kernel.
@@ -256,13 +297,25 @@ def _ranks_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -
 
     from .ops import pallas_topk as ptk
 
+    mesh = model.hyper._mesh
+    ns = 0
+    if mesh is not None:
+        from .parallel.mesh import MODEL_AXIS
+
+        if MODEL_AXIS in mesh.axis_names:
+            ns = mesh.shape[MODEL_AXIS]
     use_pallas = (
         num_chunks > 1
         and _pallas_eval_enabled(model)
         and ptk.count_supported(num_items, table.shape[1], u_pad)
+        and (mesh is None or (ns >= 1 and num_items % ns == 0))
     )
     if use_pallas:
-        count_catalog = _make_catalog_counter_pallas(num_items)
+        # The interpret escape hatch joins the cache key — a CPU-test
+        # interpret program must not be served to a later real call.
+        count_catalog = _make_catalog_counter_pallas(
+            num_items, mesh, ptk._interpret_default()
+        )
     else:
         count_catalog = _make_catalog_counter(item_chunk, num_chunks, num_items)
 

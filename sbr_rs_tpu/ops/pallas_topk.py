@@ -49,6 +49,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _interpret_default() -> bool:
+    """CPU-test escape hatch: ``SBR_PALLAS_INTERPRET=1`` makes every
+    kernel wrapper run in Pallas interpret mode. Needed for the
+    shard_map-composed paths — ``pltpu.force_tpu_interpret_mode()``
+    (which the unsharded tests use) deadlocks when these kernels run
+    inside ``jax.shard_map`` on the multi-device CPU backend, while the
+    plain ``interpret=True`` interpreter composes fine."""
+    import os
+
+    return os.environ.get("SBR_PALLAS_INTERPRET", "0") not in (
+        "0", "false", "off"
+    )
+
+
 # --------------------------------------------------------------------------
 # score + group-max (serving top-k phase 1)
 # --------------------------------------------------------------------------
@@ -179,6 +193,7 @@ def score_groupmax(
     c, cc = chunk_rows.shape
     u = reps_aug.shape[0]
     assert groupmax_supported(c, cc, u, group)
+    interpret = interpret or _interpret_default()
     # User tile: full batch when small, 512-wide tiles when large. Padding
     # users with zero reps is harmless — their outputs are sliced away.
     if u >= _U_TILE:
@@ -249,6 +264,7 @@ def score_submax_groupmax(
     assert group % sub == 0 and sub < group
     assert groupmax_supported(c, cc, u, sub)
     assert groupmax_supported(c, cc, u, group)
+    interpret = interpret or _interpret_default()
     if u >= _U_TILE:
         ut = _U_TILE
         u_pad = _round_up(u, ut)
@@ -399,6 +415,7 @@ def score_count_ge(
     c, cc = chunk_rows.shape
     u = reps_aug.shape[0]
     assert count_supported(c, cc, u)
+    interpret = interpret or _interpret_default()
     if u >= _U_TILE:
         ut = _U_TILE
         u_pad = _round_up(u, ut)

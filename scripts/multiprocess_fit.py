@@ -8,7 +8,7 @@ scripts/scaling_bench.py. The reference's only concurrency test is a
 2-thread fit (``src/models/lstm.rs:474-496``); this is its multi-host
 equivalent.
 
-Usage: python scripts/multiprocess_fit.py NUM_PROCESSES PROCESS_ID PORT [MODEL_AXIS]
+Usage: python scripts/multiprocess_fit.py NUM_PROCESSES PROCESS_ID PORT [MODEL_AXIS] [EPOCHS]
 
 MODEL_AXIS > 1 row-shards the item table over the model mesh axis — the
 shape of BASELINE config[4] (sharded-catalog WARP training across hosts):
@@ -29,6 +29,7 @@ def main() -> None:
     process_id = int(sys.argv[2])
     port = int(sys.argv[3])
     model_axis = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    num_epochs = int(sys.argv[5]) if len(sys.argv) > 5 else 3
     devices_per_process = 8 // num_processes
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -81,7 +82,7 @@ def main() -> None:
         .learning_rate(0.1)
         .loss(Loss.WARP)
         .optimizer(Optimizer.ADAGRAD)
-        .num_epochs(3)
+        .num_epochs(num_epochs)
         .batch_size(16)
         .from_seed(42)
         .mesh(mesh)
@@ -102,6 +103,7 @@ def main() -> None:
             json.dumps(
                 {
                     "num_processes": num_processes,
+                    "num_epochs": num_epochs,
                     "global_devices": jax.device_count(),
                     "model_axis": model_axis,
                     "loss": float(loss),

@@ -205,6 +205,37 @@ def test_save_load_round_trip(tmp_path):
     assert abs(l1 - l2) < 1e-4
 
 
+def test_clone_is_independent():
+    """clone() (reference derives Clone, src/models/lstm.rs:386): same
+    params and PRNG state, fully independent afterwards — training the
+    clone must not move the original, and both continue identically from
+    the cloned state."""
+    import jax
+
+    inter = _toy_interactions().to_compressed()
+    model = (
+        lstm.Hyperparameters(inter.num_items, 8)
+        .num_epochs(1)
+        .from_seed(3)
+        .build()
+    )
+    model.fit(inter)
+    twin = model.clone()
+    for a, b in zip(
+        jax.tree_util.tree_leaves(model._params),
+        jax.tree_util.tree_leaves(twin._params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    before = np.asarray(model._params["item_table"]).copy()
+    l_twin = twin.fit(inter)
+    np.testing.assert_array_equal(
+        before, np.asarray(model._params["item_table"])
+    )
+    # RNG state cloned too: the original's next fit matches the twin's.
+    l_orig = model.fit(inter)
+    assert abs(l_orig - l_twin) < 1e-6
+
+
 def test_seed_reproducibility():
     inter = _toy_interactions().to_compressed()
 
