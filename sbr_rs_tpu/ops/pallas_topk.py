@@ -28,11 +28,17 @@ which would force a relayout copy of every row). Storage-dtype (bf16)
 tables are upcast to f32 inside VMEM, so the HBM-side convert copy of each
 chunk disappears too.
 
-Each entry point has an XLA fallback (`*_xla`) used on non-TPU backends,
-under meshes (an opaque custom call cannot be partitioned), and for shapes
-that don't satisfy the tile constraints; equivalence is pinned in
-``tests/test_pallas_topk.py`` (interpret mode) and the whole serving path
-in ``tests/test_models.py``.
+Each entry point has an XLA fallback (`*_xla`) used on non-TPU backends
+and for shapes that don't satisfy the tile constraints; equivalence is
+pinned in ``tests/test_pallas_topk.py`` (interpret mode) and the whole
+serving path in ``tests/test_models.py``. Row-SHARDED tables compose the
+kernels with the mesh via ``jax.shard_map`` — each shard streams its own
+contiguous slab (mid-catalog ragged slabs are safe: the kernels mask
+Pallas pad rows by local index) — see ``models/base.py
+topk_streamed_sharded`` and ``evaluation.py
+_make_catalog_counter_pallas``; sharded==unsharded parity is pinned in
+``tests/test_sharding.py`` and was executed on hardware via a (1,1) mesh
+(``scripts/sharded_serving_kernel_check.py``).
 """
 
 from __future__ import annotations
