@@ -92,10 +92,18 @@ CONFIGS = {
     # (alpha_init=2, sigmoid(2)=0.88 decay) whose 3-seed MRRs are
     # 0.14228 / 0.14320 / 0.14079 — the first config to clear the strict
     # 0.14 at EVERY seed, so this gate now asserts exactly that (round 2
-    # needed a two-tier pinned-seed gate). Caveat: the worst-seed margin
-    # is +0.0008, inside the documented EWMA float-association noise
-    # (~±0.005, PARITY.md) — any change to EWMA numerics must re-run
-    # scripts/ewma_warp_search.py and re-tune here (CLAUDE.md protocol).
+    # needed a two-tier pinned-seed gate). The worst-seed margin is
+    # +0.0008; the round-5 noise study (scripts/ewma_warp_margin.py,
+    # ewma_warp_margin.json) bounds the risk: 5 identical TPU runs of
+    # this config are BIT-REPEATABLE (0.142276 x5, spread 0.0 — no
+    # stochastic rerun noise), and a 280-trial targeted grid around the
+    # optimum (alpha_init 1.5-3, batch 8/16/24, warmup_cosine,
+    # init_scale 1.5) found NO config with a better worst seed (best
+    # neighbor 0.1391): the margin is thin because the bar is at the
+    # summit, not because the measurement is shaky. The remaining risk
+    # is NUMERIC change (float association, ~±0.005): any change to EWMA
+    # numerics must re-run scripts/ewma_warp_search.py and re-tune here
+    # (CLAUDE.md protocol).
     "ewma_warp": GateConfig(
         "ewma", Loss.WARP, 16, 0.06, 0.016, 40, "cosine",
         (42, 7, 123), 0.14, floor=0.14,
@@ -173,14 +181,18 @@ def test_ml100k_gru_extension_bar(ml100k_split):
     thresholds are this repo's own, from the committed tuning study in
     scripts/gru_tune.py / gru_tune.json — 27 TPU trials over
     (batch, schedule, optimizer) x lr x l2): the tuned config (WARP, Adam
-    lr 0.01, l2 0.03, cosine, batch 16, 40 epochs, T=128, dim 32)
-    measured 0.1195 / 0.1037 / 0.1056 at seeds 42/123/7 on the real TPU
-    (2026-08-19) — every seed above even the reference's own lstm_warp
-    0.10 bar — and 0.1117 / 0.0969 / 0.0889 on CPU (cross-platform drift
-    up to 0.017/seed for this family). Floors keep >=0.01 margin under
-    the worst measurement on either platform per the gate-noise policy
-    in CLAUDE.md: floor 0.078 (worst 0.0889, CPU s7), s42 bar 0.10
-    (worst 0.1117, CPU)."""
+    lr 0.01, l2 0.03, cosine, batch 16, 40 epochs, T=128, dim 32).
+
+    Gate-noise study (round 5, scripts/gate_noise.py — 3 runs per
+    platform per seed): run-to-run spread is EXACTLY 0 on both platforms
+    (one deterministic compiled program per seed) and the r4 one-shot
+    numbers reproduce bit-for-bit, so all noise is CROSS-PLATFORM drift.
+    Measured (TPU / CPU): s42 0.1195 / 0.1117, s123 0.1037 / 0.0969,
+    s7 0.1056 / 0.0889 — every TPU seed above even the reference's own
+    lstm_warp 0.10 bar; max drift 0.0167 (s7), the largest of any family.
+    Floors re-set per the >=2x-drift policy (VERDICT r4 item 5):
+    floor = min_measured - 2*max_drift = 0.0889 - 0.0334 -> 0.055;
+    s42 bar = 0.1117 - 2*0.0078 -> 0.096."""
     from sbr_rs_tpu.models import gru
 
     data, train_mat, test_mat = ml100k_split
@@ -206,23 +218,26 @@ def test_ml100k_gru_extension_bar(ml100k_split):
         "test MRR gru_warp: "
         + " ".join(f"s{s}={m:.4f}" for s, m in mrrs.items())
     )
-    assert min(mrrs.values()) > 0.078
-    assert mrrs[42] > 0.10
+    assert min(mrrs.values()) > 0.055
+    assert mrrs[42] > 0.096
 
 
 def test_ml100k_attention_extension_bar(ml100k_split):
     """Quality bar for the attention EXTENSION family (no reference
     counterpart, so the thresholds are this repo's own, set from the
     committed tuning study in scripts/attention_tune.py): the tuned config
-    (WARP, Adam lr 3e-3, l2 3e-4, cosine, 1 layer, T=32) measured
-    0.0979 / 0.0800 / 0.0764 on CPU and 0.0934 / 0.0745 / 0.0756 on the
-    real TPU (2026-08-19 recheck) at seeds 42/123/7 (gate harness,
-    slice-positional tower) — observed cross-platform drift ≤0.006/seed.
-    The gate asserts a floor at every seed plus a tighter bar at seed 42.
-    Floors keep >=0.01 margin under the worst measurement on either
-    platform (worst observed: 0.0745 s123 TPU / 0.0756 s7 TPU / 0.0764 s7
-    CPU -> floor 0.064; s42 worst 0.0934 -> bar 0.08), per the gate-noise
-    policy in CLAUDE.md (seed drift band ±0.01-0.03; advisor r3)."""
+    (WARP, Adam lr 3e-3, l2 3e-4, cosine, 1 layer, T=32).
+
+    Gate-noise study (round 5, scripts/gate_noise.py — 3 runs per
+    platform per seed): run-to-run spread is EXACTLY 0 on both platforms;
+    the r4 TPU numbers reproduce bit-for-bit. Measurement set per seed
+    (r3 CPU env / r5 CPU / TPU): s42 0.0979 / 0.0915 / 0.0934,
+    s123 0.0800 / 0.0767 / 0.0745, s7 0.0764 / 0.0739 / 0.0756 — the r3
+    CPU environment ran ~+0.004-0.006 above today's (same code path on
+    ML-100K is environment-sensitive at that scale); max cross-
+    environment drift 0.0064. Floors re-set per the >=2x-drift policy
+    (VERDICT r4 item 5): floor = min_measured - 2*max_drift =
+    0.0739 - 0.0128 -> 0.061; s42 bar = 0.0915 - 2*0.0064 -> 0.078."""
     from sbr_rs_tpu.models import attention
 
     data, train_mat, test_mat = ml100k_split
@@ -250,8 +265,8 @@ def test_ml100k_attention_extension_bar(ml100k_split):
         "test MRR attention_warp: "
         + " ".join(f"s{s}={m:.4f}" for s, m in mrrs.items())
     )
-    assert min(mrrs.values()) > 0.064
-    assert mrrs[42] > 0.08
+    assert min(mrrs.values()) > 0.061
+    assert mrrs[42] > 0.078
 
 
 @pytest.mark.parametrize("name", list(CONFIGS))
