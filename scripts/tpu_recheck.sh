@@ -11,7 +11,9 @@
 #      the big-catalog targets (items10m / items20m_bf16) under their own
 #      timeout so a cold compile cache can't starve the smaller targets
 #   4. serving bench (exact + approximate streamed top-k at 10M/20M)
-#   5. Mosaic-under-shard_map smoke on the real chip
+#   5. Mosaic-under-shard_map smoke on the real chip (training tower)
+#   6. shard_map-composed serving/eval kernels on the real chip via a
+#      (1,1) mesh at 10M items (sharded==unsharded exactness)
 #
 # Usage: scripts/tpu_recheck.sh [logdir]   (default logdir: /tmp/tpu_recheck)
 # Each step is bounded with `timeout`; a down tunnel fails fast in bench.py's
@@ -40,6 +42,7 @@ run large_scale    5400 python benches/large_scale.py ml1m items2m mesh
 run big_catalogs   5400 python benches/large_scale.py items10m items20m_bf16
 run serving        3600 python benches/serving.py ml100k items10m items20m_bf16
 run mesh_pallas    1800 python scripts/tpu_mesh_pallas_fit.py
+run mesh_serving   3600 python scripts/sharded_serving_kernel_check.py
 
 echo "=== summary ==="
 tail -n 3 "$LOG"/bench.log 2>/dev/null

@@ -176,6 +176,64 @@ def test_ml100k_mrr_threshold_mesh(ml100k_split):
     assert mrr > 0.074, f"mesh-run MRR {mrr:.4f} <= the reference's 2-thread bar"
 
 
+def test_ml100k_bpr_bars(ml100k_split):
+    """Quality bars for the BPR loss — the reference's DEFAULT loss
+    (``src/models/lstm.rs:64``), with its literal formula
+    ``sigmoid(neg - pos)`` (``src/models/lstm.rs:313-320``) — which the
+    reference itself never MRR-gates (only Hinge/WARP have threshold
+    tests). These bars are this repo's own (VERDICT r4 item 6), tuned by
+    scripts/bpr_tune.py (66 screening fits + 3-seed promotion, CPU
+    basin confirmed on the chip: bpr_tune_cpu.json /
+    bpr_tpu_confirm.json). Note BPR's ceiling sits below the hinge
+    gates' — sigma(neg-pos) has vanishing gradients at both tails and is
+    not -log sigma(pos-neg).
+
+    Tuned configs (dim 32, T=128, Adagrad, 40 ep cosine, batch 4):
+    * ewma lr 0.16 l2 4e-4 — TPU 0.1222 / 0.1192 / 0.1155, CPU 0.1221 /
+      0.1192 / 0.1156 at seeds 42/123/7 (drift <= 0.0007, the tightest
+      family in the repo; above even the reference's 0.11 ewma_hinge
+      bar). Floor 0.10, s42 bar 0.108 (>= 2x the 0.0064 environment
+      drift axis measured on attention, PARITY.md round-5 study).
+    * lstm lr 0.25 l2 4e-3 — TPU 0.0945 / 0.0833 / 0.0760, CPU 0.0882 /
+      0.0824 / 0.0785 (max drift 0.0063). Floor 0.063
+      (= 0.076 - 2x0.0063), s42 bar 0.075 (= 0.0882 - 2x0.0063)."""
+    data, train_mat, test_mat = ml100k_split
+    tuned = {
+        "ewma": dict(lr=0.16, l2=0.0004, floor=0.10, s42=0.108),
+        "lstm": dict(lr=0.25, l2=0.004, floor=0.063, s42=0.075),
+    }
+    for family, cfg in tuned.items():
+        mrrs = {}
+        for seed in (42, 123, 7):
+            if family == "lstm":
+                hp = lstm.Hyperparameters(data.num_items, 128).lstm_variant(
+                    lstm.LSTMVariant.NORMAL
+                )
+            else:
+                hp = ewma.Hyperparameters(data.num_items, 128)
+            model = (
+                hp.embedding_dim(32)
+                .learning_rate(cfg["lr"])
+                .l2_penalty(cfg["l2"])
+                .loss(Loss.BPR)
+                .optimizer(Optimizer.ADAGRAD)
+                .num_epochs(40)
+                .batch_size(4)
+                .lr_schedule("cosine")
+                .from_seed(seed)
+                .build()
+            )
+            loss = model.fit(train_mat)
+            assert np.isfinite(loss)
+            mrrs[seed] = sbr.evaluation.mrr_score(model, test_mat)
+        print(
+            f"test MRR bpr_{family}: "
+            + " ".join(f"s{s}={m:.4f}" for s, m in mrrs.items())
+        )
+        assert min(mrrs.values()) > cfg["floor"], (family, mrrs)
+        assert mrrs[42] > cfg["s42"], (family, mrrs)
+
+
 def test_ml100k_gru_extension_bar(ml100k_split):
     """Quality bar for the GRU EXTENSION family (no reference counterpart;
     thresholds are this repo's own, from the committed tuning study in
