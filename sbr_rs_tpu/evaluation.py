@@ -27,6 +27,10 @@ from .models.base import ImplicitSequenceModel
 _NEG_MIN = float(np.finfo(np.float32).min)
 
 _USER_BATCH = 512
+# Fused-counter path: no [U, chunk] score matrix exists, and the kernel
+# wants >= ~8 user tiles per table pass to amortize each row block's DMA
+# (see mrr_score) — so it streams the catalog once per 4096 users.
+_USER_BATCH_FUSED = 4096
 _ITEM_CHUNK = 65536
 
 
@@ -284,17 +288,6 @@ def _ranks_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -
     while p_pad < max_prefix:
         p_pad *= 2
 
-    # One compiled shape per call: every user batch is padded to the same
-    # width (the final partial batch used to cost one extra compile of the
-    # whole chunk counter per distinct remainder). Small test sets bucket to
-    # the next power of two so repeated calls reuse programs too.
-    if len(users) >= _USER_BATCH:
-        u_pad = _USER_BATCH
-    else:
-        u_pad = 1
-        while u_pad < len(users):
-            u_pad *= 2
-
     from .ops import pallas_topk as ptk
 
     mesh = model.hyper._mesh
@@ -307,9 +300,29 @@ def _ranks_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -
     use_pallas = (
         num_chunks > 1
         and _pallas_eval_enabled(model)
-        and ptk.count_supported(num_items, table.shape[1], u_pad)
+        and ptk.count_supported(num_items, table.shape[1], 1)
         and (mesh is None or (ns >= 1 and num_items % ns == 0))
     )
+    # User batch width. The XLA streamed path's 512 bounds the [U, chunk]
+    # score matrix; the fused counter never materializes it, and its
+    # kernel is PIPELINE-bound below ~8 user tiles (each 2048-row block's
+    # table DMA amortizes over the u-tiles that reuse it: measured 56 ms
+    # per table pass at U=512 vs 119 ms at U=4096 on 10M items — ~4x
+    # cheaper per user at the wide batch), so the kernel path batches
+    # 4096 users per catalog stream.
+    user_batch = _USER_BATCH_FUSED if use_pallas else _USER_BATCH
+
+    # One compiled shape per call: every user batch is padded to the same
+    # width (the final partial batch used to cost one extra compile of the
+    # whole chunk counter per distinct remainder). Small test sets bucket to
+    # the next power of two so repeated calls reuse programs too.
+    if len(users) >= user_batch:
+        u_pad = user_batch
+    else:
+        u_pad = 1
+        while u_pad < len(users):
+            u_pad *= 2
+
     if use_pallas:
         # The interpret escape hatch joins the cache key — a CPU-test
         # interpret program must not be served to a later real call.
@@ -320,9 +333,9 @@ def _ranks_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -
         count_catalog = _make_catalog_counter(item_chunk, num_chunks, num_items)
 
     all_ranks = []
-    for start in range(0, len(users), _USER_BATCH):
-        batch_prefixes = prefixes[start : start + _USER_BATCH]
-        test_items = test_items_all[start : start + _USER_BATCH]
+    for start in range(0, len(users), user_batch):
+        batch_prefixes = prefixes[start : start + user_batch]
+        test_items = test_items_all[start : start + user_batch]
         u = len(batch_prefixes)
         if u < u_pad:
             # Padding users: empty history (scored as item-0 history), item 0
