@@ -170,3 +170,14 @@ TARGETS = {
 if __name__ == "__main__":
     for t in sys.argv[1:] or ["ml100k"]:
         TARGETS[t]()
+        # Release the previous target's device buffers AND compiled
+        # programs before the next one allocates: two big-catalog tables
+        # (5.1 GB each at 10M f32 / 20M bf16) plus a submax stack do not
+        # coexist on a 16 GB chip — the r5 recheck OOMed exactly there
+        # when 10M ran before 20M in one process.
+        import gc
+
+        import jax as _jax
+
+        _jax.clear_caches()
+        gc.collect()

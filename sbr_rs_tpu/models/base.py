@@ -813,6 +813,14 @@ class ImplicitSequenceModel:
 
         serve_chunk = self._SERVE_ITEM_CHUNK
         max_pf_seen = self._SERVE_MAX_POSTFILTER_SEEN
+        # Buffer budgets captured as LOCALS: the dispatch closures below
+        # live in the process-wide _TOPK_FN_CACHE, and a `self.` reference
+        # inside them would pin up to 64 MODELS — tables included (two
+        # 5 GB big-catalog tables cannot coexist on a 16 GB chip; the r5
+        # recheck OOMed exactly so).
+        merge_buffer_bytes = self._MERGE_BUFFER_BYTES
+        submax_buffer_bytes = self._SUBMAX_BUFFER_BYTES
+        phase2_buffer_bytes = self._PHASE2_BUFFER_BYTES
         # Plain (unsharded) kernel calls are only legal without a mesh:
         # inside jit over a row-sharded table, the opaque custom call
         # cannot be SPMD-partitioned.
@@ -928,7 +936,7 @@ class ImplicitSequenceModel:
                 c_param = table.shape[1]
                 total_groups = num_chunks * groups_per_chunk
                 single_pass = (
-                    total_groups * u * 8 <= self._MERGE_BUFFER_BYTES
+                    total_groups * u * 8 <= merge_buffer_bytes
                 )
 
                 # Subgroup width for the final selection (see the class
@@ -954,7 +962,7 @@ class ImplicitSequenceModel:
                         if group % d:
                             continue
                         stack_bytes = num_chunks * (serve_chunk // d) * u * 4
-                        if stack_bytes > self._SUBMAX_BUFFER_BYTES:
+                        if stack_bytes > submax_buffer_bytes:
                             continue
                         if kernel_ok and not _ptk.groupmax_supported(
                             serve_chunk, c_param, u, d
@@ -1124,7 +1132,7 @@ class ImplicitSequenceModel:
                 w = gids.shape[1]
                 slot_bs = max(
                     1,
-                    min(w, self._PHASE2_BUFFER_BYTES // (u * sub * c_param * 4)),
+                    min(w, phase2_buffer_bytes // (u * sub * c_param * 4)),
                 )
                 w_pad = -(-w // slot_bs) * slot_bs
                 if w_pad != w:
@@ -1251,7 +1259,7 @@ class ImplicitSequenceModel:
             for d in range(max(1, sub_target), group + 1):
                 if group % d:
                     continue
-                if _ptk.groupmax_rows(n_loc, d) * u * 4 > self._SUBMAX_BUFFER_BYTES:
+                if _ptk.groupmax_rows(n_loc, d) * u * 4 > submax_buffer_bytes:
                     continue
                 if not _ptk.groupmax_supported(n_loc, c_p, u, d):
                     continue
@@ -1320,7 +1328,7 @@ class ImplicitSequenceModel:
             # Phase 2: slot-batched exact rescoring (see topk_streamed).
             w = gids2.shape[1]
             slot_bs = max(
-                1, min(w, self._PHASE2_BUFFER_BYTES // (u * sub * c_p * 4))
+                1, min(w, phase2_buffer_bytes // (u * sub * c_p * 4))
             )
             w_pad = -(-w // slot_bs) * slot_bs
             if w_pad != w:

@@ -205,7 +205,29 @@ def test_save_load_round_trip(tmp_path):
     assert abs(l1 - l2) < 1e-4
 
 
-def test_clone_is_independent():
+def test_serving_cache_does_not_pin_models():
+    """The process-wide _TOPK_FN_CACHE must hold PURE functions: a
+    `self.` reference inside a cached closure pins the whole model —
+    table included — for up to 64 cache entries (production model
+    reloads, and the big-catalog bench where two 5 GB tables cannot
+    coexist, both OOM; found in the round-5 recheck)."""
+    import gc
+    import weakref
+
+    import jax
+
+    def build_and_serve():
+        model = (
+            lstm.Hyperparameters(500, 8).embedding_dim(16).num_epochs(1)
+            .batch_size(16).from_seed(5).build()
+        )
+        model.recommend_batch([[1, 2, 3], [7]], k=4)
+        return weakref.ref(model), weakref.ref(model._params["item_table"])
+
+    model_ref, table_ref = build_and_serve()
+    gc.collect()
+    assert model_ref() is None, "model pinned by a serving cache"
+    assert table_ref() is None, "item table pinned by a serving cache"
     """clone() (reference derives Clone, src/models/lstm.rs:386): same
     params and PRNG state, fully independent afterwards — training the
     clone must not move the original, and both continue identically from
