@@ -786,6 +786,16 @@ class ImplicitSequenceModel:
 
         from ..ops import pallas_topk as _ptk
 
+        # Phase-1 scoring dtype. A bf16 variant (round both dot operands,
+        # f32 accumulation — phase 2 re-scores survivors in f32 so recall
+        # measured a perfect 1.0) was MEASURED KILLED on chip: 0.99x at
+        # 10M f32 and 0.93x at 20M bf16 (scripts/bf16_phase1_ab.py) — the
+        # f32 contraction already runs at the MXU's effective rate for
+        # this shape, so the knob bought nothing and is not exposed. The
+        # kernels keep their compute_dtype parameter for other-hardware
+        # tuning (interpret-equivalence-tested).
+        cd = jnp.float32
+
         pallas_topk = self._pallas_topk_enabled()
         group_target = int(
             os.environ.get("SBR_SERVE_GROUP", self._GROUP_TARGET)
@@ -998,15 +1008,17 @@ class ImplicitSequenceModel:
                         # off so the stacking/merge shape accounting stays
                         # exactly subs_per_chunk rows per chunk.
                         tc = jnp.take(table, ids, axis=0, mode="clip")
-                        out = _ptk.score_groupmax(tc, reps_aug, lo, n, sub)
+                        out = _ptk.score_groupmax(
+                            tc, reps_aug, lo, n, sub, compute_dtype=cd
+                        )
                         return out[:subs_per_chunk]
                     tc = jax.lax.optimization_barrier(
                         jnp.take(table, ids, axis=0, mode="clip")
-                    ).astype(jnp.float32)
+                    )
                     # [C, U] transposed scores: group reduce over sublanes.
-                    st = tc @ reps_aug.T
-                    st = jnp.where((ids < n)[:, None], st, -jnp.inf)
-                    return jnp.max(st.reshape(subs_per_chunk, sub, u), axis=1)
+                    return _ptk.score_groupmax_xla(
+                        tc, reps_aug, lo, n, sub, compute_dtype=cd
+                    )
 
                 def to_gmax(smax):
                     """Group maxima [G, U] from subgroup maxima [C/sub, U]."""
@@ -1046,11 +1058,12 @@ class ImplicitSequenceModel:
                         # relayout copy (measured OOM at 20M/U=4096).
                         if r > 1:
                             allsub, gmax = _ptk.score_submax_groupmax(
-                                table, reps_aug, 0, n, sub, group
+                                table, reps_aug, 0, n, sub, group,
+                                compute_dtype=cd,
                             )  # [S_all, U], [G_all, U]
                         else:
                             allsub = _ptk.score_groupmax(
-                                table, reps_aug, 0, n, sub
+                                table, reps_aug, 0, n, sub, compute_dtype=cd
                             )  # [S_all, U]
                             gmax = allsub
                         allg = gmax.T  # [U, G_all]
@@ -1275,10 +1288,13 @@ class ImplicitSequenceModel:
                 lo = idx * n_loc
                 if r > 1:
                     smax, gmax = _ptk.score_submax_groupmax(
-                        table_loc, reps_aug, lo, n, sub, group
+                        table_loc, reps_aug, lo, n, sub, group,
+                        compute_dtype=cd,
                     )  # [s_pad, U], [g_pad, U]
                 else:
-                    smax = _ptk.score_groupmax(table_loc, reps_aug, lo, n, sub)
+                    smax = _ptk.score_groupmax(
+                        table_loc, reps_aug, lo, n, sub, compute_dtype=cd
+                    )
                     gmax = smax
                 gvals, gl = jax.lax.top_k(gmax.T, w1)  # [U, w1] local ids
                 gids = idx * g_pad + gl  # stacked-global group ids

@@ -80,6 +80,7 @@ def score_groupmax_xla(
     lo,
     n: int,
     group: int,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Reference formulation: ``[G, U]`` group maxima of chunk scores.
 
@@ -87,23 +88,32 @@ def score_groupmax_xla(
     catalog end are clip-duplicates — masked here by global id), ``reps_aug``
     is ``[U, Cc]`` bias-augmented f32 representations, ``lo`` the chunk's
     first global row id (traced ok), ``n`` the catalog size.
+    ``compute_dtype=bfloat16`` rounds BOTH dot operands to bf16 (f32
+    accumulation) — the opt-in fast phase-1 scoring mode; see
+    ``models/base.py recommend_batch(phase1_precision=...)``.
     """
     c = chunk_rows.shape[0]
     u = reps_aug.shape[0]
-    st = chunk_rows.astype(jnp.float32) @ reps_aug.T  # [C, U]
+    st = jax.lax.dot_general(
+        chunk_rows.astype(compute_dtype),
+        reps_aug.astype(compute_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [C, U]
     ids = lo + jnp.arange(c)
     st = jnp.where((ids < n)[:, None], st, -jnp.inf)
     return jnp.max(st.reshape(c // group, group, u), axis=1)  # [G, U]
 
 
 def _groupmax_kernel(
-    lo_ref, rows_ref, reps_ref, out_ref, *, group, n, r_blk, c_total
+    lo_ref, rows_ref, reps_ref, out_ref, *, group, n, r_blk, c_total,
+    compute_dtype,
 ):
     i = pl.program_id(0)
-    rows = rows_ref[:].astype(jnp.float32)
+    rows = rows_ref[:].astype(compute_dtype)
     scores = jax.lax.dot_general(
         rows,
-        reps_ref[:],
+        reps_ref[:].astype(compute_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [R, UT]
@@ -119,7 +129,7 @@ def _groupmax_kernel(
 
 def _submax_groupmax_kernel(
     lo_ref, rows_ref, reps_ref, sub_ref, grp_ref, *, sub, group, n, r_blk,
-    c_total,
+    c_total, compute_dtype,
 ):
     # Two-level variant: emit SUBGROUP maxima (for the serving path's
     # phase-2 refinement) AND GROUP maxima (for the wide phase-1 merge)
@@ -128,10 +138,10 @@ def _submax_groupmax_kernel(
     # and, depending on the layout XLA picks for the reshape, a
     # stack-sized relayout copy that OOMed the 20M-item catalog.
     i = pl.program_id(0)
-    rows = rows_ref[:].astype(jnp.float32)
+    rows = rows_ref[:].astype(compute_dtype)
     scores = jax.lax.dot_general(
         rows,
-        reps_ref[:],
+        reps_ref[:].astype(compute_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [R, UT]
@@ -185,6 +195,7 @@ def score_groupmax(
     n: int,
     group: int,
     *,
+    compute_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused-kernel ``[G, U]`` group maxima (see module docstring).
@@ -218,7 +229,8 @@ def score_groupmax(
 
     out = pl.pallas_call(
         functools.partial(
-            _groupmax_kernel, group=group, n=n, r_blk=_R_BLK, c_total=c
+            _groupmax_kernel, group=group, n=n, r_blk=_R_BLK, c_total=c,
+            compute_dtype=compute_dtype,
         ),
         grid=grid,
         in_specs=[
@@ -242,9 +254,12 @@ def score_submax_groupmax_xla(
     n: int,
     sub: int,
     group: int,
+    compute_dtype=jnp.float32,
 ):
     """Reference formulation of :func:`score_submax_groupmax`."""
-    smax = score_groupmax_xla(chunk_rows, reps_aug, lo, n, sub)
+    smax = score_groupmax_xla(
+        chunk_rows, reps_aug, lo, n, sub, compute_dtype=compute_dtype
+    )
     s, u = smax.shape
     gmax = jnp.max(smax.reshape(s // (group // sub), group // sub, u), axis=1)
     return smax, gmax
@@ -258,6 +273,7 @@ def score_submax_groupmax(
     sub: int,
     group: int,
     *,
+    compute_dtype=jnp.float32,
     interpret: bool = False,
 ):
     """Fused ``([S, U] subgroup maxima, [G, U] group maxima)`` in one pass
@@ -289,7 +305,7 @@ def score_submax_groupmax(
     smax, gmax = pl.pallas_call(
         functools.partial(
             _submax_groupmax_kernel, sub=sub, group=group, n=n, r_blk=_R_BLK,
-            c_total=c,
+            c_total=c, compute_dtype=compute_dtype,
         ),
         grid=grid,
         in_specs=[

@@ -200,3 +200,26 @@ def test_count_ge_ties_count():
     want_c, _ = ptk.score_count_ge_xla(chunk, reps, targets, probe, 0, 0, n)
     assert int(got_c[0]) == int(want_c[0]) >= 1
     assert int(got_c[1]) == 0
+
+
+@pytest.mark.parametrize("sub,group", [(32, 128)])
+def test_submax_groupmax_bf16_compute(sub, group):
+    # Opt-in bf16 phase-1 scoring: kernel must equal the XLA formulation
+    # AT THE SAME compute dtype (both round operands to bf16, f32 accum).
+    c = n = 5000
+    cc, u = 65, 16
+    chunk, reps = _mk(c, cc, u, n, seed=31)
+    got_s, got_g = ptk.score_submax_groupmax(
+        chunk, reps, 0, n, sub, group, compute_dtype=jnp.bfloat16,
+        interpret=True,
+    )
+    pad = ptk.groupmax_rows(c, sub) * sub - c
+    padded = jnp.concatenate([chunk, jnp.zeros((pad, cc), chunk.dtype)])
+    want_s, want_g = ptk.score_submax_groupmax_xla(
+        padded, reps, 0, n, sub, group, compute_dtype=jnp.bfloat16
+    )
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g), rtol=1e-6)
+    # bf16 maxima differ from f32 maxima (sanity that the knob is live)
+    f32_s = ptk.score_groupmax_xla(padded, reps, 0, n, sub)
+    assert not np.allclose(np.asarray(want_s), np.asarray(f32_s), rtol=1e-6)
