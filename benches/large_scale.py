@@ -93,12 +93,26 @@ def bench_items(num_items: int, name: str, dim: int = 256, dtype: str = "float32
     mrr = evaluation.mrr_score(model, test)
     eval_wall = time.perf_counter() - t0
 
+    # Wide-batch eval: the fused counter streams the catalog once per
+    # 4096 users (round 5 — the kernel is pipeline-bound below ~8 user
+    # tiles), so per-user cost drops ~3x at wide batches.
+    test_wide = sbr.datasets.synthetic_interactions(
+        4096, num_items, 20, rng=2
+    ).to_compressed()
+    evaluation.mrr_score(model, test_wide)  # warm/compile
+    t0 = time.perf_counter()
+    evaluation.mrr_score(model, test_wide)
+    eval_wide_wall = time.perf_counter() - t0
+
     return {
         "config": name,
         "examples_per_sec": round(eps),
         "wall_s": round(wall, 2),
         "mrr_eval_wall_s": round(eval_wall, 2),
         "mrr_eval_users": 512,
+        "mrr_eval_wide_wall_s": round(eval_wide_wall, 2),
+        "mrr_eval_wide_users": 4096,
+        "mrr_eval_wide_us_per_user": round(eval_wide_wall / 4096 * 1e6, 1),
         "mrr": round(float(mrr), 5),
     }
 
