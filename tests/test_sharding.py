@@ -123,20 +123,22 @@ def test_streamed_serving_over_sharded_table(monkeypatch):
         ImplicitSequenceModel._TOPK_FN_CACHE.clear()
 
 
-def test_streamed_serving_sharded_kernel(monkeypatch):
+@pytest.mark.parametrize("data,model", [(4, 2), (2, 4)])
+def test_streamed_serving_sharded_kernel(monkeypatch, data, model):
     """The fused score+group-max kernel COMPOSED with the row-sharded
     table via jax.shard_map (VERDICT r4 item 1): each shard streams its
     own slab and merges its own groups; only [U, w1] winners cross
-    shards. Must equal the dense argsort and the unsharded-model lists.
-    SBR_PALLAS_INTERPRET=1 runs the kernels in interpret mode (the
-    force_tpu_interpret_mode context deadlocks inside shard_map on the
-    multi-device CPU backend)."""
+    shards. Must equal the dense argsort and the unsharded-model lists,
+    at model-axis degree 2 AND 4 (deeper cross-shard merges, 10-row
+    slabs). SBR_PALLAS_INTERPRET=1 runs the kernels in interpret mode
+    (the force_tpu_interpret_mode context deadlocks inside shard_map on
+    the multi-device CPU backend)."""
     from sbr_rs_tpu.models.base import ImplicitSequenceModel
 
-    num_items = 40  # model axis 2 -> 20-row slabs, heavily ragged vs the
+    num_items = 40  # 20- or 10-row slabs, heavily ragged vs the
     # 2048 kernel row block: exercises the pad-group handling everywhere.
     single = _hp(lstm.Hyperparameters, num_items).build()
-    mesh = make_mesh(data=4, model=2)
+    mesh = make_mesh(data=data, model=model)
     sharded = _hp(lstm.Hyperparameters, num_items, mesh).build()
 
     monkeypatch.setattr(ImplicitSequenceModel, "_SERVE_ITEM_CHUNK", 8)
