@@ -40,9 +40,9 @@ def _pallas_eval_enabled(model) -> bool:
     ML-100K quality gate) always use the XLA formulation below, so gate
     trajectories never move. Row-sharded tables compose the kernel with
     the mesh via ``jax.shard_map`` (each shard counts its own slab, one
-    ``psum`` merges — see :func:`_make_catalog_counter_pallas_sharded`);
-    catalogs not divisible by the model-axis degree fall back to the XLA
-    formulation, which SPMD shards on its own."""
+    ``psum`` merges — see :func:`_make_catalog_counter_pallas`'s ``mesh``
+    branch); catalogs not divisible by the model-axis degree fall back to
+    the XLA formulation, which SPMD shards on its own."""
     import os
 
     env = os.environ.get("SBR_PALLAS_EVAL")
