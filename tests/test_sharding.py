@@ -177,6 +177,23 @@ def test_streamed_eval_sharded_kernel(monkeypatch):
     assert got == want, (got, want)
 
 
+def test_clone_preserves_mesh():
+    """clone() must keep the mesh (to_dict does not serialize it, so the
+    clone path re-attaches it explicitly) and produce a sharded,
+    independent twin."""
+    inter = _toy(num_items=40).to_compressed()
+    mesh = make_mesh(data=4, model=2)
+    model = _hp(lstm.Hyperparameters, inter.num_items, mesh).build()
+    model.fit(inter)
+    twin = model.clone()
+    assert twin.hyper._mesh is mesh
+    sh = twin._params["item_table"].sharding
+    assert sh.spec == jax.sharding.PartitionSpec("model", None)
+    l_twin = twin.fit(inter)
+    l_orig = model.fit(inter)
+    assert abs(l_twin - l_orig) < 1e-6
+
+
 def test_dryrun_multichip():
     import sys
 
