@@ -116,7 +116,6 @@ def _make_catalog_counter_pallas(num_items: int, mesh=None, _interpret=False):
                 table, reps_aug, targets, test_items, 0, 0, num_items
             )
 
-    @jax.jit
     def count_catalog(table, reps, prefix, test_items, test_in_prefix):
         u = reps.shape[0]
         rows_t = jnp.take(table, test_items, axis=0)
@@ -146,18 +145,23 @@ def _make_catalog_counter_pallas(num_items: int, mesh=None, _interpret=False):
         )
         return counts, self_hits, targets
 
-    return count_catalog
+    if mesh is not None:
+        # Replicated outputs: multi-controller runs fetch them with
+        # np.asarray on every process.
+        repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        return jax.jit(count_catalog, out_shardings=repl)
+    return jax.jit(count_catalog)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_catalog_counter(chunk: int, num_chunks: int, num_items: int):
+def _make_catalog_counter(chunk: int, num_chunks: int, num_items: int,
+                          mesh=None):
     """One compiled program per (chunk, catalog) shape that targets + counts
     the WHOLE catalog: the chunk loop runs as a ``fori_loop`` on device, so
     a user batch costs ONE dispatch instead of ``1 + num_chunks`` (at 10M
     items / 64k chunks that was 153 extra ~0.5 ms tunnel round-trips per
     512 users — most of the measured eval wall)."""
 
-    @jax.jit
     def count_catalog(table, reps, prefix, test_items, test_in_prefix):
         u = reps.shape[0]
         # Masked score of each user's held-out item (MIN if it was already
@@ -216,7 +220,12 @@ def _make_catalog_counter(chunk: int, num_chunks: int, num_items: int):
         )
         return counts, self_hits, targets
 
-    return count_catalog
+    if mesh is not None:
+        # Replicated outputs: multi-controller runs fetch them with
+        # np.asarray on every process.
+        repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        return jax.jit(count_catalog, out_shardings=repl)
+    return jax.jit(count_catalog)
 
 
 def mrr_score(model, test: CompressedInteractions) -> float:
@@ -330,7 +339,11 @@ def _ranks_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -
             num_items, mesh, ptk._interpret_default()
         )
     else:
-        count_catalog = _make_catalog_counter(item_chunk, num_chunks, num_items)
+        count_catalog = (
+            _make_catalog_counter(item_chunk, num_chunks, num_items)
+            if mesh is None
+            else _make_catalog_counter(item_chunk, num_chunks, num_items, mesh)
+        )
 
     all_ranks = []
     for start in range(0, len(users), user_batch):
@@ -359,13 +372,15 @@ def _ranks_batched(model: ImplicitSequenceModel, test: CompressedInteractions) -
         if not np.all(np.isfinite(reps)):
             raise InvalidPredictionValue()
 
-        reps_j = jnp.asarray(reps.astype(np.float32))
+        from .models.base import _replicated_put
+
+        reps_j = _replicated_put(mesh, reps.astype(np.float32))
         counts, self_hits, targets = count_catalog(
             table,
             reps_j,
-            jnp.asarray(prefix_arr),
-            jnp.asarray(test_items),
-            jnp.asarray(test_in_prefix),
+            _replicated_put(mesh, prefix_arr),
+            _replicated_put(mesh, test_items),
+            _replicated_put(mesh, test_in_prefix),
         )
         # A non-finite target (out-of-range test item — jnp.take fills OOB
         # gathers with NaN — or a corrupted/overflowed table) would fake a

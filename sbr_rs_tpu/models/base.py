@@ -275,6 +275,23 @@ class _LruCache:
 
 # Module-level jit: compiled once per shape process-wide (per-instance jits
 # would recompile the scorer for every hyperopt trial).
+def _replicated_put(mesh, arr):
+    """Host array -> device array consumable by a jit over ``mesh``.
+
+    Single-process meshes reshard automatically; a mesh SPANNING PROCESSES
+    (multi-controller ``jax.distributed`` runs) requires every jit input to
+    be a GLOBAL array, so host values are device_put with a fully
+    replicated ``NamedSharding`` — every process passes identical host
+    data, the same pattern ``fit`` uses for the window store. ``None``
+    mesh is the plain upload."""
+    a = jnp.asarray(arr)
+    if mesh is None:
+        return a
+    return jax.device_put(
+        a, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+
+
 @jax.jit
 def _predict_rows(table, rep, ids):
     rows = jnp.take(table, ids, axis=0)
@@ -631,7 +648,11 @@ class ImplicitSequenceModel:
         return (type(self).__name__, hp._item_embedding_dim)
 
     def _build_rep_fn(self):
-        key = self._rep_fn_cache_key()
+        # The mesh joins the key: under a mesh the jit pins REPLICATED
+        # outputs (and multi-controller runs need exactly that to fetch
+        # them with np.asarray on every process).
+        mesh = self.hyper._mesh
+        key = (self._rep_fn_cache_key(), mesh)
         cached = self._REP_FN_CACHE.get(key)
         if cached is not None:
             return cached
@@ -649,7 +670,13 @@ class ImplicitSequenceModel:
             last = jnp.clip(lengths - 1, 0, inputs.shape[1] - 1)
             return jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]
 
-        fn = jax.jit(rep_fn)
+        if mesh is not None:
+            repl = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()
+            )
+            fn = jax.jit(rep_fn, out_shardings=repl)
+        else:
+            fn = jax.jit(rep_fn)
         self._REP_FN_CACHE[key] = fn
         return fn
 
@@ -689,7 +716,12 @@ class ImplicitSequenceModel:
                 f"History contains item ids outside [0, {self.hyper._num_items})."
             )
         rep_fn = self._build_rep_fn()
-        reps = rep_fn(self._params, jnp.asarray(inputs), jnp.asarray(lengths))
+        mesh = self.hyper._mesh
+        reps = rep_fn(
+            self._params,
+            _replicated_put(mesh, inputs),
+            _replicated_put(mesh, lengths),
+        )
         return np.asarray(reps)
 
     def user_representation(self, item_ids: Sequence[int]) -> ImplicitUser:
@@ -1401,7 +1433,13 @@ class ImplicitSequenceModel:
                 return topk_streamed_sharded(params, reps, seen)
             return topk_streamed(params, reps, seen)
 
-        fn = jax.jit(dispatch)
+        if mesh is not None:
+            repl = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()
+            )
+            fn = jax.jit(dispatch, out_shardings=repl)
+        else:
+            fn = jax.jit(dispatch)
         self._TOPK_FN_CACHE[key] = fn
         return fn
 
@@ -1450,10 +1488,11 @@ class ImplicitSequenceModel:
 
         k = min(k, n)
         topk_fn = self._build_topk_fn(k, approximate, recall_target)
+        mesh = self.hyper._mesh
         vals, idx = topk_fn(
             self._params,
-            jnp.asarray(reps.astype(np.float32)),
-            jnp.asarray(seen),
+            _replicated_put(mesh, reps.astype(np.float32)),
+            _replicated_put(mesh, seen),
         )
         if return_scores:
             return np.asarray(idx).tolist(), np.asarray(vals)

@@ -61,6 +61,7 @@ def main() -> None:
     import numpy as np
 
     from sbr_rs_tpu.data import Interactions
+    from sbr_rs_tpu.evaluation import mrr_score
     from sbr_rs_tpu.models import Loss, Optimizer, lstm
 
     num_users, num_items, seq_len = 64, 128, 12
@@ -91,6 +92,13 @@ def main() -> None:
     loss = model.fit(inter)  # includes compile
     t_first_fit = time.perf_counter()
     losses = [float(x) for x in model._last_epoch_losses]
+    # Serving + eval across the SAME process boundary (round 5): inputs
+    # upload as fully-replicated global arrays and outputs are pinned
+    # replicated, so recommend_batch / mrr_score run under multi-
+    # controller meshes too — every process computes identical results.
+    histories = [[1, 2, 3], [100, 127], [5] * 4]
+    recs = model.recommend_batch(histories, k=5)
+    mrr = float(mrr_score(model, inter))
     # Steady-state wall: the number that predicts real multi-host scaling
     # (one-off interpreter/distributed-init/compile costs excluded).
     warm = float("inf")
@@ -110,6 +118,8 @@ def main() -> None:
                     "epoch_losses": losses,
                     "first_fit_s": t_first_fit - t_ready,
                     "warm_fit_s": warm,
+                    "recommend_lists": recs,
+                    "mrr": mrr,
                 }
             )
         )

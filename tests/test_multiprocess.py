@@ -84,3 +84,18 @@ def test_two_process_row_sharded_table():
         multi["epoch_losses"], single["epoch_losses"], rtol=1e-4,
         err_msg="2-process row-sharded fit diverged from single-process",
     )
+
+
+@pytest.mark.slow
+def test_two_process_serving_and_eval():
+    """SERVING and EVAL across the process boundary (round 5): inputs
+    upload as fully-replicated global arrays (the window-store pattern)
+    and outputs are pinned replicated, so recommend_batch / mrr_score
+    run under a multi-controller mesh — lists and MRR must match the
+    single-process run on the same (data=4, model=2) sharded table."""
+    single = _run(1, model_axis=2)
+    multi = _run(2, model_axis=2)
+    assert multi["recommend_lists"] == single["recommend_lists"], (
+        multi["recommend_lists"], single["recommend_lists"],
+    )
+    np.testing.assert_allclose(multi["mrr"], single["mrr"], rtol=1e-6)
