@@ -1461,8 +1461,12 @@ class ImplicitSequenceModel:
         ``approximate=True`` (large streamed catalogs only) selects with
         the TPU-native ``lax.approx_max_k`` PartialReduce: returned items
         and scores are real, but each catalog chunk's recall is only
-        guaranteed >= ``recall_target`` — the standard serving trade at
-        10M+ item scale. Default is EXACT selection.
+        guaranteed >= ``recall_target``. Note that since the round-5
+        serving rework the EXACT path is measured FASTER than this mode
+        at both bench scales (10M f32: ~9.8k vs ~6.9k users/s; 20M bf16:
+        ~5.9-6.8k vs ~5.2k) — exact selection is the default and the
+        recommendation; the approximate mode remains for shapes where
+        the two-phase guarantee degrades (very wide k+seen shortlists).
 
         ``return_scores=True`` additionally returns the items' scores
         (``dot(user, emb) + bias``, the same quantity :meth:`predict`
